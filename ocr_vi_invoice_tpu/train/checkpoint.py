@@ -1,0 +1,71 @@
+"""Checkpointing with the reference's best/periodic policy, orbax-backed.
+
+Reference policy (`src/det/train.py:264-286`, `src/rec2/train.py:238-260`):
+new best metric -> ``best_model``; every N epochs -> ``checkpoint_epoch_K``.
+``--resume`` loads model weights only and restarts optimizer/schedule fresh
+(`train.py:180-189`) — mirrored by ``load_weights`` + ``TrainState.replace_tx``.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+class CheckpointManager:
+    def __init__(self, save_dir: str | Path, every: int = 5):
+        self.save_dir = Path(save_dir).absolute()
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        self.every = every
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _save(self, name: str, payload: Dict[str, Any]):
+        path = self.save_dir / name
+        if path.exists():
+            import shutil
+
+            shutil.rmtree(path)
+        self._ckptr.save(path, _to_host(payload))
+        self._ckptr.wait_until_finished()
+
+    def save_best(self, epoch: int, params, batch_stats, best_metric: float,
+                  extra: Optional[Dict[str, Any]] = None):
+        self._save("best_model", {
+            "epoch": epoch,
+            "params": params,
+            "batch_stats": batch_stats,
+            "best_metric": float(best_metric),
+            **(extra or {}),
+        })
+
+    def maybe_save_periodic(self, epoch: int, params, batch_stats,
+                            best_metric: float,
+                            extra: Optional[Dict[str, Any]] = None):
+        if (epoch + 1) % self.every == 0:
+            self._save(f"checkpoint_epoch_{epoch + 1}", {
+                "epoch": epoch,
+                "params": params,
+                "batch_stats": batch_stats,
+                "best_metric": float(best_metric),
+                **(extra or {}),
+            })
+
+    def load(self, name: str = "best_model") -> Dict[str, Any]:
+        return self._ckptr.restore(self.save_dir / name)
+
+
+def load_weights(path: str | Path) -> Dict[str, Any]:
+    """Load params/batch_stats from a checkpoint dir (resume-style:
+    weights only, the caller builds a fresh optimizer)."""
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(Path(path).absolute())
+    return restored

@@ -1,0 +1,110 @@
+"""Learning-rate schedules and optimizer builders.
+
+Mirrors the reference recipes (`src/det/train.py:169-226`,
+`src/rec2/train.py:195-203`): AdamW(wd=0.05) + per-step OneCycle with
+cosine annealing, global-norm gradient clip 5.0, and for detection a
+two-phase plan — backbone frozen for the first N epochs, then a fresh
+optimizer with differential LR (backbone at lr/10, overall lr halved,
+gentler warmup).
+
+On TPU there is no GradScaler: bf16 has fp32 dynamic range, so the
+reference's AMP scale/back-off machinery (`train.py:73-81`) has no
+equivalent and the schedule simply steps every update.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def onecycle(
+    max_lr: float,
+    total_steps: int,
+    pct_start: float = 0.075,
+    div_factor: float = 25.0,
+    final_div_factor: float = 1000.0,
+) -> optax.Schedule:
+    """torch OneCycleLR(anneal_strategy='cos') equivalent."""
+    return optax.cosine_onecycle_schedule(
+        transition_steps=max(total_steps, 1),
+        peak_value=max_lr,
+        pct_start=pct_start,
+        div_factor=div_factor,
+        final_div_factor=final_div_factor,
+    )
+
+
+def adamw_onecycle(
+    max_lr: float,
+    total_steps: int,
+    weight_decay: float = 0.05,
+    grad_clip: float = 5.0,
+    pct_start: float = 0.075,
+    div_factor: float = 25.0,
+    final_div_factor: float = 1000.0,
+) -> optax.GradientTransformation:
+    """Single-group optimizer: clip → AdamW on a OneCycle schedule."""
+    sched = onecycle(max_lr, total_steps, pct_start, div_factor, final_div_factor)
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(sched, weight_decay=weight_decay),
+    )
+
+
+def _label_backbone(params) -> dict:
+    """Label top-level 'backbone' subtree vs everything else."""
+    return {
+        k: jax.tree_util.tree_map(lambda _: "backbone" if k == "backbone" else "other", v)
+        for k, v in params.items()
+    }
+
+
+def det_freeze_phase_optimizer(
+    lr: float,
+    steps: int,
+    weight_decay: float = 0.05,
+    grad_clip: float = 5.0,
+) -> optax.GradientTransformation:
+    """Phase 1 (`train.py:138-178`): backbone frozen (zero updates),
+    neck+head on OneCycle at ``lr``."""
+    sched = onecycle(lr, steps, pct_start=0.075, div_factor=25, final_div_factor=1000)
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.multi_transform(
+            {
+                "backbone": optax.set_to_zero(),
+                "other": optax.adamw(sched, weight_decay=weight_decay),
+            },
+            _label_backbone,
+        ),
+    )
+
+
+def det_finetune_phase_optimizer(
+    lr: float,
+    steps: int,
+    weight_decay: float = 0.05,
+    grad_clip: float = 5.0,
+    backbone_lr_scale: float = 0.1,
+    unfreeze_lr_scale: float = 0.5,
+) -> optax.GradientTransformation:
+    """Phase 2 (`train.py:205-226`): fresh AdamW, backbone at
+    lr*0.5/10, rest at lr*0.5; warmup pct 0.1, div_factor 10."""
+    finetune_lr = lr * unfreeze_lr_scale
+    kw = dict(pct_start=0.1, div_factor=10, final_div_factor=1000)
+    sched_bb = onecycle(finetune_lr * backbone_lr_scale, steps, **kw)
+    sched_other = onecycle(finetune_lr, steps, **kw)
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.multi_transform(
+            {
+                "backbone": optax.adamw(sched_bb, weight_decay=weight_decay),
+                "other": optax.adamw(sched_other, weight_decay=weight_decay),
+            },
+            _label_backbone,
+        ),
+    )

@@ -1,0 +1,177 @@
+"""Jitted training/eval steps for detection and recognition.
+
+Each builder returns a pure ``step(state, batch, rng) -> (state, metrics)``
+function suitable for ``jax.jit`` with sharded inputs. Data parallelism
+comes from sharding ``batch`` dim 0 over the mesh's 'data' axis — XLA
+inserts the gradient all-reduce; there is no explicit collective code
+(SURVEY.md §2.5).
+
+Reference semantics preserved:
+  * NaN/Inf loss skips the update (`src/det/train.py:60-62`) — expressed
+    as a ``jnp.where`` over the update pytree, branch-free;
+  * global-norm clip 5.0 inside the optax chain;
+  * BatchNorm statistics updated through flax's ``batch_stats`` mutable
+    collection (frozen-backbone phase still updates BN stats, matching
+    torch where ``requires_grad=False`` does not stop BN running stats).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from ocr_vi_invoice_tpu.losses.db_loss import db_loss
+from ocr_vi_invoice_tpu.losses.rec_loss import svtrv2_loss
+from ocr_vi_invoice_tpu.train.metrics import det_pixel_metrics
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, params, batch_stats, tx):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=tx.init(params),
+            tx=tx,
+        )
+
+    def replace_tx(self, tx):
+        """Fresh optimizer/schedule (the det unfreeze rebuild,
+        `train.py:205-226`; rec --resume keeps weights only)."""
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=self.params,
+            batch_stats=self.batch_stats,
+            opt_state=tx.init(self.params),
+            tx=tx,
+        )
+
+
+def _apply_updates_if_finite(state: TrainState, grads, loss):
+    """Optimizer step, skipped (identity) when loss is non-finite."""
+    updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    ok = jnp.isfinite(loss)
+
+    def pick(new, old):
+        return jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o), new, old
+        )
+
+    return state.replace(
+        step=state.step + ok.astype(jnp.int32),
+        params=pick(new_params, state.params),
+        opt_state=pick(new_opt_state, state.opt_state),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Detection
+# --------------------------------------------------------------------------- #
+
+
+def make_det_train_step(
+    model, alpha: float = 5.0, beta: float = 10.0, ohem_ratio: float = 3.0
+) -> Callable:
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        def loss_fn(params):
+            preds, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["image"], train=True, mutable=["batch_stats"],
+            )
+            loss, metrics = db_loss(preds, batch, alpha, beta, ohem_ratio)
+            return loss, (metrics, mut["batch_stats"])
+
+        (loss, (metrics, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = _apply_updates_if_finite(state, grads, loss)
+        ok = jnp.isfinite(loss)
+        state = state.replace(
+            batch_stats=jax.tree_util.tree_map(
+                lambda n, o: jnp.where(ok, n, o), new_bs, state.batch_stats
+            )
+        )
+        return state, metrics
+
+    return step
+
+
+def make_det_eval_step(model, alpha=5.0, beta=10.0, ohem_ratio=3.0) -> Callable:
+    def step(state: TrainState, batch):
+        preds = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["image"], train=False,
+        )
+        loss, _ = db_loss(preds, batch, alpha, beta, ohem_ratio)
+        metrics = det_pixel_metrics(preds["binary"], batch["gt"], batch["mask"])
+        metrics["loss"] = loss
+        return metrics
+
+    return step
+
+
+# --------------------------------------------------------------------------- #
+# Recognition
+# --------------------------------------------------------------------------- #
+
+
+def make_rec_train_step(model, lambda_sgm: float = 0.1) -> Callable:
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["image"], targets=batch["target"], train=True,
+                mutable=["batch_stats"], rngs={"dropout": rng},
+            )
+            log_probs, sgm_output = out
+            loss, metrics = svtrv2_loss(
+                log_probs, batch["target"], sgm_output,
+                batch.get("input_length"), batch.get("target_length"),
+                lambda_sgm=lambda_sgm,
+            )
+            return loss, (metrics, mut["batch_stats"])
+
+        (loss, (metrics, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = _apply_updates_if_finite(state, grads, loss)
+        ok = jnp.isfinite(loss)
+        state = state.replace(
+            batch_stats=jax.tree_util.tree_map(
+                lambda n, o: jnp.where(ok, n, o), new_bs, state.batch_stats
+            )
+        )
+        return state, metrics
+
+    return step
+
+
+def make_rec_eval_step(model) -> Callable:
+    """Eval: CTC-only loss + greedy argmax ids (decode to strings on host)."""
+
+    def step(state: TrainState, batch):
+        log_probs = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["image"], train=False,
+        )
+        loss, _ = svtrv2_loss(
+            log_probs, batch["target"], None,
+            batch.get("input_length"), batch.get("target_length"),
+        )
+        ids = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
+        return {"loss": loss, "pred_ids": ids}
+
+    return step
