@@ -1,0 +1,133 @@
+"""Detection dataset: JSON polygon annotations -> DBNet GT maps.
+
+Equivalent of `src/det/dataloader.py:27-362`: per sample, read
+``N.json`` (``{"annotations": [{"text", "polygon"}]}``) + ``N.jpg|png``,
+apply keypoint-aware augmentation (train only), generate gt/mask/
+thresh_map/thresh_mask at native resolution via the C++ runtime
+(threshold maps skipped outside training, the reference's own
+optimization at `dataloader.py:347-350`), then aspect-preserving resize +
+zero pad to the square ``image_size``. Corrupt samples degrade to a
+fully-masked blank (`dataloader.py:288-297`).
+
+Arrays are NHWC float32; maps are (H, W, 1).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import cv2
+import numpy as np
+
+from ocr_vi_invoice_tpu import native
+from ocr_vi_invoice_tpu.data.augment import DetAugment
+
+_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+class DetectionDataset:
+    def __init__(
+        self,
+        data_dir: str,
+        image_size: int = 640,
+        is_training: bool = False,
+        shrink_ratio: float = 0.4,
+        thresh_min: float = 0.3,
+        thresh_max: float = 0.7,
+        seed: int = 0,
+    ):
+        self.data_dir = Path(data_dir)
+        self.image_size = image_size
+        self.is_training = is_training
+        self.shrink_ratio = shrink_ratio
+        self.thresh_min = thresh_min
+        self.thresh_max = thresh_max
+        self.samples = sorted(self.data_dir.glob("*.json"))
+        self.augment = DetAugment(seed=seed) if is_training else None
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def _blank(self) -> Dict[str, np.ndarray]:
+        s = self.image_size
+        return {
+            "image": np.zeros((s, s, 3), np.float32),
+            "gt": np.zeros((s, s, 1), np.float32),
+            "mask": np.zeros((s, s, 1), np.float32),
+            "thresh_map": np.zeros((s, s, 1), np.float32),
+            "thresh_mask": np.zeros((s, s, 1), np.float32),
+        }
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        try:
+            return self._load(idx)
+        except Exception as e:  # corrupt data -> masked blank
+            print(f"Warning: failed to load sample {idx}: {e}; returning blank.")
+            return self._blank()
+
+    def _load(self, idx: int) -> Dict[str, np.ndarray]:
+        json_path = self.samples[idx]
+        with open(json_path, "r", encoding="utf-8") as f:
+            annotation = json.load(f)
+
+        image = None
+        for ext in (".jpg", ".png", ".jpeg"):
+            p = json_path.with_suffix(ext)
+            if p.exists():
+                image = cv2.imread(str(p))
+                if image is not None:
+                    break
+        if image is None:
+            raise ValueError(f"cannot read image for {json_path.name}")
+        image = cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
+
+        polygons: List[np.ndarray] = []
+        for ann in annotation.get("annotations", []):
+            poly = np.asarray(ann["polygon"], np.float32)
+            if len(poly) >= 3:
+                polygons.append(poly)
+
+        if self.is_training and polygons and self.augment is not None:
+            image, polygons = self.augment(image, polygons)
+            polygons = [p for p in polygons if len(p) >= 3]
+
+        h, w = image.shape[:2]
+        gt, mask, tm, tk = native.det_gt_maps(
+            polygons, h, w, self.shrink_ratio, self.thresh_min, self.thresh_max,
+            is_training=self.is_training,
+        )
+
+        image_t, maps = _resize_pad(image, [gt, mask, tm, tk], self.image_size)
+        gt, mask, tm, tk = maps
+        return {
+            "image": image_t,
+            "gt": gt[..., None],
+            "mask": mask[..., None],
+            "thresh_map": tm[..., None],
+            "thresh_mask": tk[..., None],
+        }
+
+
+def _resize_pad(
+    image: np.ndarray, masks: List[np.ndarray], size: int
+) -> Tuple[np.ndarray, List[np.ndarray]]:
+    h, w = image.shape[:2]
+    scale = size / max(h, w)
+    nh, nw = int(h * scale), int(w * scale)
+    if scale != 1.0:
+        image = cv2.resize(image, (nw, nh))
+    img = image.astype(np.float32) / 255.0
+    img = (img - _MEAN) / _STD
+    out = np.zeros((size, size, 3), np.float32)
+    out[:nh, :nw] = img
+    out_masks = []
+    for m in masks:
+        if scale != 1.0:
+            m = cv2.resize(m, (nw, nh), interpolation=cv2.INTER_NEAREST)
+        mm = np.zeros((size, size), np.float32)
+        mm[:nh, :nw] = m
+        out_masks.append(mm)
+    return out, out_masks

@@ -80,14 +80,18 @@ class _DBBranch(nn.Module):
     def __call__(self, x, train: bool = False):
         mid = self.in_channels // 4
         x = ConvBN(mid, 3, 1, 1, act="relu", dtype=self.dtype, name="conv")(x, train)
+        # transpose_kernel=True == torch ConvTranspose2d semantics (no
+        # spatial flip), keeping checkpoint porting 1:1.
         x = nn.ConvTranspose(mid, (2, 2), strides=(2, 2), padding="VALID",
                              use_bias=True, kernel_init=kaiming_out_init,
+                             transpose_kernel=True,
                              dtype=self.dtype, name="up1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="up1_bn")(x)
         x = nn.relu(x)
         x = nn.ConvTranspose(1, (2, 2), strides=(2, 2), padding="VALID",
                              use_bias=True, kernel_init=kaiming_out_init,
+                             transpose_kernel=True,
                              dtype=self.dtype, name="up2")(x)
         return x
 

@@ -1,0 +1,96 @@
+"""Fused on-device OCR program: detect -> boxes -> crops -> recognize.
+
+The reference crosses the device boundary 3x per image plus a host
+round-trip between detection and recognition (SURVEY.md §3.1). Here the
+whole post-preprocessing pipeline is ONE jitted XLA program with static
+capacity ``max_boxes``:
+
+    image (H, W, 3) uint8/float
+      -> DBNet++ probability map                      [MXU convs]
+      -> connected components + scored boxes (ops/cc) [VPU]
+      -> batched crop/resize gather (ops/warp)        [VPU]
+      -> SVTRv2 over K crops                          [MXU]
+      -> greedy per-frame argmax ids
+
+Only the final (K, T) id matrix and (K, 4) boxes return to the host,
+where the tokenizer maps ids to strings.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ocr_vi_invoice_tpu.utils.config import PipelineConfig
+
+
+class FusedOCR:
+    """One-program OCR at a fixed detection size bucket."""
+
+    def __init__(
+        self,
+        det_vars,
+        rec_vars,
+        cfg: Optional[PipelineConfig] = None,
+        rec_variant: str = "base",
+        dtype=None,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from ocr_vi_invoice_tpu.models.dbnet import DBNetPP
+        from ocr_vi_invoice_tpu.models.svtrv2 import SVTRv2
+        from ocr_vi_invoice_tpu.ops.cc import extract_boxes
+        from ocr_vi_invoice_tpu.ops.warp import crop_resize_batch
+        from ocr_vi_invoice_tpu.data.tokenizer import Tokenizer
+
+        self.cfg = cfg or PipelineConfig()
+        self.dtype = dtype or jnp.bfloat16
+        self.tokenizer = Tokenizer()
+        det = DBNetPP(dcn=True, dtype=self.dtype)
+        rec = SVTRv2(variant=rec_variant, dtype=self.dtype)
+        self.det_vars = det_vars
+        self.rec_vars = rec_vars
+        pp = self.cfg.postprocess
+        K = self.cfg.max_boxes
+        rec_h, rec_w = self.cfg.rec_img_size
+
+        @jax.jit
+        def program(det_vars, rec_vars, image_f32):
+            # image_f32: (H, W, 3) float32 0..255, already size-bucketed
+            mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+            std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+            norm = (image_f32 / 255.0 - mean) / std
+            prob = det.apply(det_vars, norm[None].astype(self.dtype))["binary"]
+            prob = prob[0, :, :, 0]
+            boxes, scores, valid = extract_boxes(
+                prob, pp.thresh, pp.box_thresh, pp.unclip_ratio, pp.min_area,
+                max_boxes=K,
+            )
+            crops = crop_resize_batch(image_f32, boxes, valid, rec_h, rec_w)
+            log_probs = rec.apply(rec_vars, crops.astype(self.dtype))
+            ids = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
+            return boxes, scores, valid, ids
+
+        self._program = program
+
+    def __call__(self, image_rgb: np.ndarray) -> List[Dict]:
+        """Run on one image (already resized to the det bucket)."""
+        import jax.numpy as jnp
+
+        boxes, scores, valid, ids = self._program(
+            self.det_vars, self.rec_vars,
+            jnp.asarray(image_rgb, jnp.float32),
+        )
+        boxes = np.asarray(boxes)
+        scores = np.asarray(scores)
+        valid = np.asarray(valid)
+        ids = np.asarray(ids)
+        texts = self.tokenizer.decode_ctc_greedy(ids)
+        return [
+            {"box": boxes[i].tolist(), "score": float(scores[i]),
+             "text": texts[i]}
+            for i in range(len(valid)) if valid[i]
+        ]

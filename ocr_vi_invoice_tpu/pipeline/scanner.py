@@ -1,0 +1,192 @@
+"""Document scanner: background removal -> 4-point perspective rectify.
+
+Equivalent of `src/preprocess/scanner.py:13-239`. The segmentation step
+uses our native JAX U-2-Net (jitted at a fixed 512x384 bucket) instead
+of rembg/onnxruntime; when no trained scanner weights are available a
+classical fallback (grayscale -> blur -> Canny -> contours) keeps the
+API functional. The geometric half (corner ordering, perspective warp,
+CLAHE/denoise/sharpen enhancement) matches the reference exactly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from pathlib import Path
+from typing import Optional, Tuple
+
+import cv2
+import numpy as np
+
+_U2NET_H, _U2NET_W = 512, 384  # portrait bucket; inputs resized into it
+
+_state = {"fwd": None, "vars": None}
+
+
+def order_points(pts: np.ndarray) -> np.ndarray:
+    """tl, tr, br, bl ordering (`scanner.py:13-27`)."""
+    rect = np.zeros((4, 2), np.float32)
+    s = pts.sum(axis=1)
+    rect[0] = pts[np.argmin(s)]
+    rect[2] = pts[np.argmax(s)]
+    d = np.diff(pts, axis=1)
+    rect[1] = pts[np.argmin(d)]
+    rect[3] = pts[np.argmax(d)]
+    return rect
+
+
+def four_point_transform(image: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    rect = order_points(pts.astype(np.float32))
+    (tl, tr, br, bl) = rect
+    w_top = np.linalg.norm(tr - tl)
+    w_bot = np.linalg.norm(br - bl)
+    h_left = np.linalg.norm(bl - tl)
+    h_right = np.linalg.norm(br - tr)
+    mw = max(int(w_top), int(w_bot))
+    mh = max(int(h_left), int(h_right))
+    if mw < 2 or mh < 2:
+        return image
+    dst = np.array([[0, 0], [mw - 1, 0], [mw - 1, mh - 1], [0, mh - 1]], np.float32)
+    M = cv2.getPerspectiveTransform(rect, dst)
+    return cv2.warpPerspective(image, M, (mw, mh))
+
+
+def enhance_document(image_rgb: np.ndarray) -> np.ndarray:
+    """CLAHE on L channel + denoise + sharpen (`scanner.py:55-76`)."""
+    lab = cv2.cvtColor(image_rgb, cv2.COLOR_RGB2LAB)
+    l, a, b = cv2.split(lab)
+    clahe = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8))
+    enhanced = cv2.cvtColor(cv2.merge([clahe.apply(l), a, b]), cv2.COLOR_LAB2RGB)
+    enhanced = cv2.fastNlMeansDenoisingColored(enhanced, None, 10, 10, 7, 21)
+    kernel = np.array([[-1, -1, -1], [-1, 9, -1], [-1, -1, -1]])
+    return cv2.filter2D(enhanced, -1, kernel)
+
+
+def _u2net_mask(image_rgb: np.ndarray, weights_path: Optional[str]) -> Optional[np.ndarray]:
+    """Foreground mask via jitted U-2-Net; None when unavailable."""
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from ocr_vi_invoice_tpu.models.u2net import U2Net
+
+        if _state["fwd"] is None:
+            path = weights_path or os.environ.get(
+                "OVI_U2NET_WEIGHTS", "weights/u2netp/best_model"
+            )
+            if not Path(path).exists():
+                return None
+            from ocr_vi_invoice_tpu.train.checkpoint import load_weights
+
+            restored = load_weights(path)
+            variant = restored.get("variant", "u2netp")
+            model = U2Net(variant=variant, dtype=jnp.bfloat16)
+            _state["vars"] = {
+                "params": restored["params"],
+                "batch_stats": restored["batch_stats"],
+            }
+            _state["fwd"] = jax.jit(
+                lambda v, x: model.apply(v, x)[0]
+            )
+        h, w = image_rgb.shape[:2]
+        resized = cv2.resize(image_rgb, (_U2NET_W, _U2NET_H))
+        x = (resized.astype(np.float32) / 255.0 - 0.485) / 0.229
+        import jax.numpy as jnp
+
+        d0 = np.asarray(
+            _state["fwd"](_state["vars"], jnp.asarray(x[None], jnp.bfloat16)),
+            np.float32,
+        )[0, ..., 0]
+        mask = (d0 > 0.5).astype(np.uint8) * 255
+        return cv2.resize(mask, (w, h), interpolation=cv2.INTER_NEAREST)
+    except Exception:
+        return None
+
+
+def _classical_mask(image_rgb: np.ndarray) -> np.ndarray:
+    """Edge-based fallback: Canny -> dilate -> filled largest contour."""
+    gray = cv2.cvtColor(image_rgb, cv2.COLOR_RGB2GRAY)
+    blur = cv2.GaussianBlur(gray, (5, 5), 0)
+    edges = cv2.Canny(blur, 50, 150)
+    edges = cv2.dilate(edges, np.ones((5, 5), np.uint8), iterations=2)
+    mask = np.zeros_like(gray)
+    contours, _ = cv2.findContours(edges, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+    if contours:
+        big = max(contours, key=cv2.contourArea)
+        cv2.fillPoly(mask, [big], 255)
+    return mask
+
+
+def find_document_contour(
+    image_rgb: np.ndarray, weights_path: Optional[str] = None
+) -> Tuple[Optional[np.ndarray], float, Optional[np.ndarray]]:
+    """4 corners of the document + resize ratio + mask (`scanner.py:78-136`)."""
+    h = image_rgb.shape[0]
+    ratio = h / 500.0
+    resized = cv2.resize(image_rgb, (max(int(image_rgb.shape[1] / ratio), 1), 500))
+
+    mask = _u2net_mask(resized, weights_path)
+    if mask is None:
+        mask = _classical_mask(resized)
+
+    contours, _ = cv2.findContours(mask, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+    if not contours:
+        return None, ratio, mask
+    contours = sorted(contours, key=cv2.contourArea, reverse=True)[:5]
+
+    screen_cnt = None
+    for cnt in contours:
+        peri = cv2.arcLength(cnt, True)
+        approx = cv2.approxPolyDP(cnt, 0.02 * peri, True)
+        if len(approx) == 4:
+            screen_cnt = approx
+            break
+    if screen_cnt is None and contours:
+        rect = cv2.minAreaRect(contours[0])
+        screen_cnt = cv2.boxPoints(rect).astype(np.int32)
+    return screen_cnt, ratio, mask
+
+
+def preprocess_image(
+    image_rgb_or_path, enhance: bool = False, weights_path: Optional[str] = None
+) -> Optional[np.ndarray]:
+    """Scan API (`scanner.py:168-196`): returns the rectified document, the
+    original image when no contour is found, or None on read failure."""
+    if isinstance(image_rgb_or_path, (str, Path)):
+        bgr = cv2.imread(str(image_rgb_or_path))
+        if bgr is None:
+            return None
+        image_rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+    else:
+        image_rgb = image_rgb_or_path
+
+    screen_cnt, ratio, _ = find_document_contour(image_rgb, weights_path)
+    if screen_cnt is None:
+        return image_rgb
+    corners = screen_cnt.reshape(4, 2).astype(np.float32) * ratio
+    result = four_point_transform(image_rgb, corners)
+    if enhance:
+        result = enhance_document(result)
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Document scanner (U-2-Net, TPU)")
+    ap.add_argument("--input", "-i", required=True)
+    ap.add_argument("--output", "-o", default=None)
+    ap.add_argument("--enhance", action="store_true")
+    ap.add_argument("--weights", default=None)
+    args = ap.parse_args()
+
+    result = preprocess_image(args.input, enhance=args.enhance,
+                              weights_path=args.weights)
+    if result is None:
+        print(f"Error: could not load {args.input}")
+        return
+    out = args.output or str(Path(args.input).with_suffix("")) + "_scanned.jpg"
+    cv2.imwrite(out, cv2.cvtColor(result, cv2.COLOR_RGB2BGR))
+    print(f"Saved {out} ({result.shape[1]}x{result.shape[0]})")
+
+
+if __name__ == "__main__":
+    main()

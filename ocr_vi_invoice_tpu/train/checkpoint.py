@@ -4,11 +4,16 @@ Reference policy (`src/det/train.py:264-286`, `src/rec2/train.py:238-260`):
 new best metric -> ``best_model``; every N epochs -> ``checkpoint_epoch_K``.
 ``--resume`` loads model weights only and restarts optimizer/schedule fresh
 (`train.py:180-189`) — mirrored by ``load_weights`` + ``TrainState.replace_tx``.
+
+Array trees (params/batch_stats) go through orbax/tensorstore; scalar
+metadata (epoch, metric, variant, val metrics) lives in a ``meta.json``
+sidecar — tensorstore has no string dtype.
 """
 
 from __future__ import annotations
 
-import os
+import json
+import shutil
 from pathlib import Path
 from typing import Any, Dict, Optional
 
@@ -28,44 +33,42 @@ class CheckpointManager:
         self.every = every
         self._ckptr = ocp.StandardCheckpointer()
 
-    def _save(self, name: str, payload: Dict[str, Any]):
+    def _save(self, name: str, params, batch_stats, meta: Dict[str, Any]):
         path = self.save_dir / name
         if path.exists():
-            import shutil
-
             shutil.rmtree(path)
-        self._ckptr.save(path, _to_host(payload))
+        self._ckptr.save(
+            path, _to_host({"params": params, "batch_stats": batch_stats})
+        )
         self._ckptr.wait_until_finished()
+        with open(path / "meta.json", "w") as f:
+            json.dump(meta, f)
 
     def save_best(self, epoch: int, params, batch_stats, best_metric: float,
                   extra: Optional[Dict[str, Any]] = None):
-        self._save("best_model", {
-            "epoch": epoch,
-            "params": params,
-            "batch_stats": batch_stats,
-            "best_metric": float(best_metric),
-            **(extra or {}),
-        })
+        self._save("best_model", params, batch_stats,
+                   {"epoch": epoch, "best_metric": float(best_metric),
+                    **(extra or {})})
 
     def maybe_save_periodic(self, epoch: int, params, batch_stats,
                             best_metric: float,
                             extra: Optional[Dict[str, Any]] = None):
         if (epoch + 1) % self.every == 0:
-            self._save(f"checkpoint_epoch_{epoch + 1}", {
-                "epoch": epoch,
-                "params": params,
-                "batch_stats": batch_stats,
-                "best_metric": float(best_metric),
-                **(extra or {}),
-            })
+            self._save(f"checkpoint_epoch_{epoch + 1}", params, batch_stats,
+                       {"epoch": epoch, "best_metric": float(best_metric),
+                        **(extra or {})})
 
     def load(self, name: str = "best_model") -> Dict[str, Any]:
-        return self._ckptr.restore(self.save_dir / name)
+        return load_weights(self.save_dir / name)
 
 
 def load_weights(path: str | Path) -> Dict[str, Any]:
-    """Load params/batch_stats from a checkpoint dir (resume-style:
-    weights only, the caller builds a fresh optimizer)."""
+    """Load {params, batch_stats, **meta} from a checkpoint dir."""
+    path = Path(path).absolute()
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(Path(path).absolute())
+    restored = dict(ckptr.restore(path))
+    meta_path = path / "meta.json"
+    if meta_path.exists():
+        with open(meta_path) as f:
+            restored.update(json.load(f))
     return restored

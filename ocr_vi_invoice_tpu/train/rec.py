@@ -1,0 +1,180 @@
+"""SVTRv2 training CLI.
+
+Recipe parity with `src/rec2/train.py:96-279`: VietOCR train / MC-OCR
+val+test, AdamW wd=0.05 + per-step OneCycle (pct 0.075, div 25/1000),
+grad clip 5.0, NaN-skip, λ_sgm=0.1, best-by-val-accuracy + every-5
+checkpoints, reference CSV columns, ``--augment`` switches the save dir
+to ``weights/rec2_aug``, ``--resume`` loads weights only.
+
+  python -m ocr_vi_invoice_tpu.train.rec --vietocr_dir data/vietocr
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def evaluate(state, dataset, batch_size, mesh, eval_step, tokenizer):
+    """CTC loss + CER + exact-match accuracy (`rec2/val.py:33-163`)."""
+    from ocr_vi_invoice_tpu.data.loader import iterate
+    from ocr_vi_invoice_tpu.parallel.mesh import shard_batch
+    from ocr_vi_invoice_tpu.train.metrics import compute_acc, compute_cer
+
+    total_loss, n = 0.0, 0
+    preds, gts = [], []
+    for batch in iterate(dataset, batch_size, shuffle=False):
+        texts = batch.pop("text")
+        real = batch["image"].shape[0]
+        if real != batch_size:
+            pad = batch_size - real
+            batch = {
+                k: np.concatenate([v, np.zeros((pad, *v.shape[1:]), v.dtype)])
+                for k, v in batch.items()
+            }
+        out = eval_step(state, shard_batch(mesh, batch))
+        total_loss += float(out["loss"])
+        n += 1
+        ids = np.asarray(out["pred_ids"])[:real]
+        preds.extend(tokenizer.decode_ctc_greedy(ids))
+        gts.extend(texts)
+    return {
+        "loss": total_loss / max(n, 1),
+        "cer": compute_cer(preds, gts),
+        "accuracy": compute_acc(preds, gts),
+    }
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    from ocr_vi_invoice_tpu.data.loader import iterate, num_batches
+    from ocr_vi_invoice_tpu.data.rec_dataset import create_datasets
+    from ocr_vi_invoice_tpu.data.tokenizer import Tokenizer
+    from ocr_vi_invoice_tpu.models.svtrv2 import SVTRv2
+    from ocr_vi_invoice_tpu.parallel.mesh import make_mesh, shard_batch
+    from ocr_vi_invoice_tpu.train.checkpoint import CheckpointManager, load_weights
+    from ocr_vi_invoice_tpu.train.schedules import adamw_onecycle
+    from ocr_vi_invoice_tpu.train.steps import (
+        TrainState,
+        make_rec_eval_step,
+        make_rec_train_step,
+    )
+    from ocr_vi_invoice_tpu.utils.logging import CSVLogger, REC_COLUMNS
+
+    ap = argparse.ArgumentParser(description="Train SVTRv2 (TPU)")
+    ap.add_argument("--vietocr_dir", type=str, default="data/vietocr")
+    ap.add_argument("--val_annotation", type=str,
+                    default="data/archive/text_recognition_train_data.txt")
+    ap.add_argument("--val_img_dir", type=str,
+                    default="data/archive/text_recognition_mcocr_data/text_recognition_mcocr_data")
+    ap.add_argument("--test_annotation", type=str,
+                    default="data/archive/text_recognition_val_data.txt")
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--batch_size", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=6.5e-4)
+    ap.add_argument("--img_height", type=int, default=32)
+    ap.add_argument("--img_width", type=int, default=256)
+    ap.add_argument("--variant", type=str, default="base",
+                    choices=["tiny", "small", "base"])
+    ap.add_argument("--max_label_len", type=int, default=48)
+    ap.add_argument("--lambda_sgm", type=float, default=0.1)
+    ap.add_argument("--augment", action="store_true")
+    ap.add_argument("--save_dir", type=str, default="weights/rec2")
+    ap.add_argument("--resume", type=str, default=None)
+    ap.add_argument("--checkpoint_every", type=int, default=5)
+    ap.add_argument("--max_steps_per_epoch", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    if args.augment and args.save_dir == "weights/rec2":
+        args.save_dir = "weights/rec2_aug"
+
+    mesh = make_mesh()
+    print(f"Devices: {jax.devices()}; mesh {dict(mesh.shape)}")
+
+    train_ds, val_ds, test_ds = create_datasets(
+        vietocr_dir=args.vietocr_dir,
+        val_annotation=args.val_annotation,
+        val_img_dir=args.val_img_dir,
+        test_annotation=args.test_annotation,
+        img_size=(args.img_height, args.img_width),
+        augment=args.augment,
+        max_label_len=args.max_label_len,
+    )
+    print(f"Train {len(train_ds)} / val {len(val_ds)}"
+          + (f" / test {len(test_ds)}" if test_ds else ""))
+
+    tokenizer = Tokenizer()
+    model = SVTRv2(variant=args.variant, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(42)
+    x = jnp.zeros((args.batch_size, args.img_height, args.img_width, 3), jnp.bfloat16)
+    t = jnp.ones((args.batch_size, args.max_label_len), jnp.int32)
+    variables = model.init(rng, x, targets=t, train=True)
+    if args.resume:
+        restored = load_weights(args.resume)
+        variables = {"params": restored["params"],
+                     "batch_stats": restored["batch_stats"]}
+        print(f"Loaded weights from {args.resume} (fresh optimizer/schedule)")
+
+    steps_per_epoch = num_batches(len(train_ds), args.batch_size, drop_last=True)
+    if args.max_steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, args.max_steps_per_epoch)
+    tx = adamw_onecycle(args.lr, steps_per_epoch * args.epochs)
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+
+    train_step = jax.jit(make_rec_train_step(model, args.lambda_sgm))
+    eval_step = jax.jit(make_rec_eval_step(model))
+
+    ckpt = CheckpointManager(args.save_dir, every=args.checkpoint_every)
+    log = CSVLogger(Path(args.save_dir) / "training_log.csv", REC_COLUMNS,
+                    resume=bool(args.resume))
+
+    best_acc = 0.0
+    step_rng = jax.random.PRNGKey(7)
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        total_loss, steps = 0.0, 0
+        for batch in iterate(train_ds, args.batch_size, shuffle=True,
+                             seed=42, epoch=epoch, drop_last=True):
+            batch.pop("text", None)
+            step_rng, sub = jax.random.split(step_rng)
+            state, metrics = train_step(state, shard_batch(mesh, batch), sub)
+            total_loss += float(metrics["loss"])
+            steps += 1
+            if args.max_steps_per_epoch and steps >= args.max_steps_per_epoch:
+                break
+        train_loss = total_loss / max(steps, 1)
+
+        val = evaluate(state, val_ds, args.batch_size, mesh, eval_step, tokenizer)
+        print(
+            f"Epoch {epoch + 1:3d} | {time.time() - t0:.0f}s | "
+            f"Train {train_loss:.4f} | Val {val['loss']:.4f} | "
+            f"CER {val['cer']:.4f} | Acc {val['accuracy']:.4f}"
+        )
+        log.append({
+            "epoch": epoch + 1, "lr": "", "train_loss": f"{train_loss:.4f}",
+            "val_loss": f"{val['loss']:.4f}", "val_cer": f"{val['cer']:.4f}",
+            "val_accuracy": f"{val['accuracy']:.4f}",
+        })
+
+        if val["accuracy"] > best_acc:
+            best_acc = val["accuracy"]
+            ckpt.save_best(epoch, state.params, state.batch_stats, best_acc,
+                           {"variant": args.variant})
+            print(f"  -> saved best model (Acc {best_acc:.4f})")
+        ckpt.maybe_save_periodic(epoch, state.params, state.batch_stats, best_acc,
+                                 {"variant": args.variant})
+
+    if test_ds is not None:
+        test = evaluate(state, test_ds, args.batch_size, mesh, eval_step, tokenizer)
+        print(f"Test: loss {test['loss']:.4f} CER {test['cer']:.4f} "
+              f"Acc {test['accuracy']:.4f}")
+    print(f"Training done. Best val accuracy {best_acc:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,171 @@
+import json
+
+import cv2
+import numpy as np
+import pytest
+
+from ocr_vi_invoice_tpu.data.det_dataset import DetectionDataset
+from ocr_vi_invoice_tpu.data.loader import iterate, num_batches
+from ocr_vi_invoice_tpu.data.rec_dataset import (
+    RecognitionDataset,
+    load_mcocr_samples,
+    load_vietocr_samples,
+)
+from ocr_vi_invoice_tpu.pipeline.postprocess import (
+    DBPostProcessor,
+    box_score_fast,
+    crop_image,
+    resize_image_for_det,
+    unclip,
+)
+
+
+@pytest.fixture
+def det_dir(tmp_path):
+    d = tmp_path / "det"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        img = np.full((200, 300, 3), 255, np.uint8)
+        polys = []
+        for j in range(2):
+            x, y = 20 + 120 * j, 40 + 60 * j
+            cv2.rectangle(img, (x, y), (x + 100, y + 30), (0, 0, 0), -1)
+            polys.append(
+                {"text": "abc", "polygon": [[x, y], [x + 100, y], [x + 100, y + 30], [x, y + 30]]}
+            )
+        cv2.imwrite(str(d / f"{i}.jpg"), img)
+        (d / f"{i}.json").write_text(json.dumps({"annotations": polys}))
+    return d
+
+
+def test_det_dataset_shapes_and_maps(det_dir):
+    ds = DetectionDataset(str(det_dir), image_size=160, is_training=True)
+    assert len(ds) == 3
+    s = ds[0]
+    assert s["image"].shape == (160, 160, 3)
+    for k in ("gt", "mask", "thresh_map", "thresh_mask"):
+        assert s[k].shape == (160, 160, 1)
+    assert s["gt"].sum() > 0
+    assert s["thresh_mask"].sum() > s["gt"].sum()
+    assert 0 <= s["thresh_map"].max() <= 0.71
+
+
+def test_det_dataset_eval_mode_no_thresh(det_dir):
+    ds = DetectionDataset(str(det_dir), image_size=160, is_training=False)
+    s = ds[0]
+    assert s["thresh_map"].sum() == 0
+    assert s["gt"].sum() > 0
+
+
+def test_loader_batching(det_dir):
+    ds = DetectionDataset(str(det_dir), image_size=96, is_training=False)
+    batches = list(iterate(ds, batch_size=2, shuffle=True, seed=1))
+    assert len(batches) == num_batches(3, 2)
+    assert batches[0]["image"].shape == (2, 96, 96, 3)
+    assert batches[1]["image"].shape == (1, 96, 96, 3)
+    batches = list(iterate(ds, batch_size=2, drop_last=True))
+    assert len(batches) == 1
+
+
+@pytest.fixture
+def rec_dir(tmp_path):
+    root = tmp_path / "vietocr" / "sub0"
+    root.mkdir(parents=True)
+    for i, text in enumerate(["hóa đơn", "tổng: 12.000₫"]):
+        img = np.full((48, 200, 3), 255, np.uint8)
+        cv2.putText(img, "text", (5, 30), cv2.FONT_HERSHEY_SIMPLEX, 1, (0, 0, 0), 2)
+        cv2.imwrite(str(root / f"{i}.jpg"), img)
+        (root / f"{i}.txt").write_text(text, encoding="utf-8")
+    return tmp_path / "vietocr"
+
+
+def test_vietocr_loader_and_dataset(rec_dir):
+    samples = load_vietocr_samples(str(rec_dir))
+    assert len(samples) == 2
+    ds = RecognitionDataset(samples, max_label_len=16)
+    s = ds[0]
+    assert s["image"].shape == (32, 256, 3)
+    assert s["target"].shape == (16,)
+    assert s["input_length"] == 64
+    assert s["target_length"] == len(s["text"])
+    # pad area on the right should be uniform white (per-channel constant)
+    assert s["image"][:, -1, :].std(axis=0).max() < 1e-5
+
+
+def test_rec_augment_runs(rec_dir):
+    samples = load_vietocr_samples(str(rec_dir))
+    ds = RecognitionDataset(samples, augment=True, max_label_len=16, seed=3)
+    for _ in range(5):
+        s = ds[0]
+        assert s["image"].shape == (32, 256, 3)
+        assert np.isfinite(s["image"]).all()
+
+
+def test_mcocr_loader(tmp_path):
+    imgd = tmp_path / "imgs"
+    imgd.mkdir()
+    cv2.imwrite(str(imgd / "a.jpg"), np.zeros((10, 10, 3), np.uint8))
+    ann = tmp_path / "ann.txt"
+    ann.write_text("a.jpg\txin chào\nmissing.jpg\tnope\n", encoding="utf-8")
+    samples = load_mcocr_samples(str(ann), str(imgd))
+    assert samples == [(str(imgd / "a.jpg"), "xin chào")]
+
+
+# ---------------------------------------------------------------------- #
+# Postprocess
+# ---------------------------------------------------------------------- #
+
+
+def _prob_map_with_rects():
+    prob = np.zeros((160, 200), np.float32)
+    prob[20:40, 30:120] = 0.9
+    prob[80:100, 50:180] = 0.85
+    return prob
+
+
+def test_postprocessor_finds_boxes():
+    prob = _prob_map_with_rects()
+    post = DBPostProcessor(thresh=0.3, box_thresh=0.5, unclip_ratio=1.5)
+    boxes, scores = post(prob)
+    assert len(boxes) == 2
+    assert all(s > 0.8 for s in scores)
+    # unclip expands: each box should contain its source rect
+    areas = sorted(cv2.contourArea(b.astype(np.int32)) for b in boxes)
+    assert areas[0] > 20 * 90  # bigger than the raw rect
+
+
+def test_postprocessor_score_threshold():
+    prob = _prob_map_with_rects() * 0.5  # scores ~0.45
+    post = DBPostProcessor(thresh=0.3, box_thresh=0.6)
+    boxes, _ = post(prob)
+    assert boxes == []
+
+
+def test_unclip_distance():
+    box = np.array([[10, 10], [110, 10], [110, 50], [10, 50]], np.float32)
+    out = unclip(box, unclip_ratio=1.5)
+    # d = A*r/L = 4000*1.5/280 = 21.4 -> expanded bbox grows by ~2d each way
+    assert out is not None
+    assert out[:, 0].min() < 10 - 15 and out[:, 0].max() > 110 + 15
+
+
+def test_box_score_fast():
+    prob = np.zeros((50, 50), np.float32)
+    prob[10:20, 10:20] = 1.0
+    box = np.array([[10, 10], [19, 10], [19, 19], [10, 19]], np.float32)
+    assert box_score_fast(prob, box) > 0.9
+
+
+def test_resize_image_for_det_multiple_of_32():
+    img = np.zeros((503, 771, 3), np.uint8)
+    resized, (sh, sw) = resize_image_for_det(img, 960)
+    assert resized.shape[0] % 32 == 0 and resized.shape[1] % 32 == 0
+    assert abs(resized.shape[1] - 960) <= 32
+
+
+def test_crop_image_clips():
+    img = np.arange(100 * 100 * 3, dtype=np.uint8).reshape(100, 100, 3)
+    box = np.array([[90, 90], [120, 90], [120, 120], [90, 120]], np.float32)
+    crop = crop_image(img, box)
+    assert crop.shape[0] <= 10 and crop.shape[1] <= 10 and crop.size > 0

@@ -1,0 +1,146 @@
+import json
+
+import numpy as np
+import pytest
+
+from ocr_vi_invoice_tpu.data.vocab import VOCAB
+from ocr_vi_invoice_tpu.generator.defects import (
+    DefectSimulator,
+    apply_defects_heavy,
+    apply_defects_light,
+    apply_defects_medium,
+)
+from ocr_vi_invoice_tpu.generator.edge_cases import (
+    blank_page,
+    extreme_rotation,
+    partial_scan,
+    textured_background,
+)
+from ocr_vi_invoice_tpu.generator.generator import (
+    GenerationScenario,
+    SyntheticInvoiceGenerator,
+    get_scenario_config,
+)
+from ocr_vi_invoice_tpu.generator.layouts import LAYOUTS, WEIGHTS, LayoutFactory
+
+
+def test_twelve_layouts_registered():
+    assert len(LAYOUTS) == 12
+    assert set(WEIGHTS) == set(LAYOUTS)
+    assert abs(sum(WEIGHTS.values()) - 1.0) < 1e-6
+
+
+@pytest.mark.parametrize("name", sorted(LAYOUTS))
+def test_each_layout_renders_with_annotations(name):
+    rng = np.random.RandomState(3)
+    img, anns = LayoutFactory.create(name, rng).generate()
+    assert img.ndim == 3 and img.dtype == np.uint8
+    assert len(anns) >= 5
+    h, w = img.shape[:2]
+    vocab = set(VOCAB)
+    for a in anns:
+        poly = np.asarray(a["polygon"], np.float32)
+        assert poly.shape == (4, 2)
+        assert (poly[:, 0] >= 0).all() and (poly[:, 0] <= w - 1).all()
+        assert (poly[:, 1] >= 0).all() and (poly[:, 1] <= h - 1).all()
+        assert a["text"].strip()
+        # all generated text must be recognizable by the tokenizer
+        assert all(c in vocab for c in a["text"]), a["text"]
+
+
+def test_layout_determinism():
+    a = LayoutFactory.create("modern_pos", np.random.RandomState(11)).generate()
+    b = LayoutFactory.create("modern_pos", np.random.RandomState(11)).generate()
+    np.testing.assert_array_equal(a[0], b[0])
+    assert a[1] == b[1]
+
+
+_ALL_DEFECTS = [
+    "stain", "crease", "crumple", "shadow", "gaussian_noise", "salt_pepper",
+    "sand_grain", "blur", "local_strip_blur", "broken_text",
+    "brightness_contrast", "toner_loss", "handwritten_marks", "staple_holes",
+    "torn_edges",
+]
+
+
+@pytest.mark.parametrize("defect", _ALL_DEFECTS)
+def test_each_defect_runs(defect):
+    rng = np.random.RandomState(5)
+    img = np.full((120, 160, 3), 230, np.uint8)
+    out = getattr(DefectSimulator, defect)(rng, img)
+    assert out.shape == img.shape and out.dtype == np.uint8
+
+
+def test_defect_presets():
+    rng = np.random.RandomState(5)
+    img = np.full((120, 160, 3), 230, np.uint8)
+    for fn in (apply_defects_light, apply_defects_medium, apply_defects_heavy):
+        out = fn(rng, img)
+        assert out.shape == img.shape
+
+
+def test_partial_scan_clips_annotations():
+    rng = np.random.RandomState(1)
+    img = np.full((200, 200, 3), 255, np.uint8)
+    anns = [{"text": "x", "polygon": [[10, 10], [60, 10], [60, 30], [10, 30]]},
+            {"text": "y", "polygon": [[150, 150], [199, 150], [199, 180], [150, 180]]}]
+    out, new = partial_scan(rng, img, anns)
+    assert out.shape[0] <= 200 and out.shape[1] <= 200
+    for a in new:
+        p = np.asarray(a["polygon"])
+        assert (p[:, 0] < out.shape[1]).all() and (p[:, 1] < out.shape[0]).all()
+
+
+def test_extreme_rotation_rotates_polygons():
+    rng = np.random.RandomState(2)
+    img = np.full((100, 100, 3), 255, np.uint8)
+    anns = [{"text": "x", "polygon": [[40, 40], [60, 40], [60, 50], [40, 50]]}]
+    out, new = extreme_rotation(rng, img, anns)
+    assert len(new) == 1
+    assert out.shape[0] >= 100  # expanded canvas
+    p = np.asarray(new[0]["polygon"])
+    # center stays near canvas center
+    assert np.linalg.norm(p.mean(0) - [out.shape[1] / 2, out.shape[0] / 2]) < 25
+
+
+def test_textured_background_offsets():
+    rng = np.random.RandomState(3)
+    img = np.full((100, 80, 3), 255, np.uint8)
+    anns = [{"text": "x", "polygon": [[0, 0], [10, 0], [10, 10], [0, 10]]}]
+    out, new = textured_background(rng, img, anns)
+    assert out.shape[0] > 100 and out.shape[1] > 80
+    assert np.asarray(new[0]["polygon"]).min() >= 0
+
+
+def test_blank_page_no_annotations():
+    img, anns = blank_page(np.random.RandomState(4))
+    assert anns == []
+    assert img.mean() > 200
+
+
+def test_generator_distribution_and_save(tmp_path):
+    gen = SyntheticInvoiceGenerator(seed=9)
+    kinds = []
+    for i in range(30):
+        img, anns, kind = gen.generate_sample()
+        kinds.append(kind)
+        if i < 3:
+            gen.save_sample(tmp_path, f"{i:03d}", img, anns, kind)
+    assert "realistic" in kinds
+    data = json.loads((tmp_path / "000.json").read_text(encoding="utf-8"))
+    assert "annotations" in data
+    assert (tmp_path / "000.jpg").exists()
+
+
+def test_scenario_configs():
+    for s in GenerationScenario:
+        c = get_scenario_config(s)
+        total = (c.realistic_ratio + c.edge_case_ratio + c.blank_ratio
+                 + c.unreadable_ratio)
+        assert 0.9 <= total <= 1.1
+
+
+def test_unreadable_has_no_annotations():
+    gen = SyntheticInvoiceGenerator(seed=5)
+    img, anns, kind = gen.generate_unreadable()
+    assert anns == [] and kind == "unreadable"

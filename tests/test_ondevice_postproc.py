@@ -1,0 +1,110 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ocr_vi_invoice_tpu.ops.cc import connected_components, extract_boxes
+from ocr_vi_invoice_tpu.ops.warp import crop_resize_batch
+
+
+def test_connected_components_two_blobs():
+    mask = np.zeros((32, 40), bool)
+    mask[4:10, 5:20] = True
+    mask[20:28, 25:38] = True
+    lab = np.asarray(connected_components(jnp.asarray(mask)))
+    l1 = lab[5, 6]
+    l2 = lab[22, 30]
+    assert l1 != l2
+    assert (lab[4:10, 5:20] == l1).all()
+    assert (lab[20:28, 25:38] == l2).all()
+    assert (lab[~mask] > 10**6).all()
+
+
+def test_connected_components_snake():
+    """Long thin S-shape: pointer jumping must converge in 16 iters."""
+    mask = np.zeros((64, 64), bool)
+    mask[2, 2:60] = True
+    mask[2:40, 59] = True
+    mask[39, 4:60] = True
+    mask[10:40, 4] = True
+    lab = np.asarray(connected_components(jnp.asarray(mask), num_iters=16))
+    vals = np.unique(lab[mask])
+    assert len(vals) == 1
+
+
+def test_extract_boxes_matches_host_decisions():
+    prob = np.zeros((96, 128), np.float32)
+    prob[10:26, 8:60] = 0.92     # keep
+    prob[50:70, 30:100] = 0.85   # keep
+    prob[80:82, 5:8] = 0.9       # area 6 < min_area -> reject
+    prob[40:44, 110:120] = 0.4   # score 0.4 < box_thresh -> reject
+    boxes, scores, valid = extract_boxes(
+        jnp.asarray(prob), thresh=0.3, box_thresh=0.6, unclip_ratio=1.5,
+        min_area=10, max_boxes=16,
+    )
+    boxes, scores, valid = map(np.asarray, (boxes, scores, valid))
+    assert valid.sum() == 2
+    kept = boxes[valid]
+    # unclip: d = A*r/L; blob1: 52x16 -> d = 52*16*1.5/136 = 9.18
+    b = kept[np.argsort(kept[:, 1])]
+    assert b[0][0] == pytest.approx(8 - 9.18, abs=1.5)
+    assert b[0][1] == pytest.approx(10 - 9.18, abs=1.5)
+    assert b[0][2] == pytest.approx(59 + 9.18, abs=1.5)
+    assert scores[valid].min() > 0.8
+
+
+def test_extract_boxes_empty_map():
+    prob = np.zeros((32, 32), np.float32)
+    boxes, scores, valid = extract_boxes(jnp.asarray(prob), max_boxes=8)
+    assert not np.asarray(valid).any()
+
+
+def test_crop_resize_batch_shapes_and_pad():
+    img = np.full((100, 200, 3), 255.0, np.float32)
+    img[20:40, 10:50] = 0.0  # dark box
+    boxes = jnp.asarray([[10, 20, 49, 39], [0, 0, 9, 99]], jnp.float32)
+    valid = jnp.asarray([True, True])
+    crops = np.asarray(crop_resize_batch(jnp.asarray(img), boxes, valid, 32, 256))
+    assert crops.shape == (2, 32, 256, 3)
+    # crop 0: 40x20 box -> scale 20/32 -> content width 64; content dark
+    white = (1.0 - 0.485) / 0.229
+    assert crops[0, 16, 10, 0] < 0  # dark (normalized below mean)
+    assert crops[0, 16, 200, 0] == pytest.approx(white, abs=0.05)  # padded
+
+
+def test_crop_resize_invalid_is_whitelike():
+    img = np.zeros((50, 50, 3), np.float32)
+    boxes = jnp.zeros((1, 4), jnp.float32)
+    crops = np.asarray(crop_resize_batch(jnp.asarray(img), boxes,
+                                         jnp.asarray([False]), 32, 64))
+    assert np.isfinite(crops).all()
+    for c in range(3):  # uniform fill per channel
+        assert len(np.unique(crops[..., c])) == 1
+
+
+def test_fused_vs_host_postproc_on_synthetic():
+    """Box-level agreement between on-device extraction and the host
+    DBPostProcessor on a clean probability map."""
+    from ocr_vi_invoice_tpu.pipeline.postprocess import DBPostProcessor
+
+    rng = np.random.RandomState(0)
+    prob = np.zeros((160, 200), np.float32) + rng.rand(160, 200) * 0.05
+    rects = [(20, 30, 90, 18), (110, 60, 70, 14), (30, 120, 150, 20)]
+    for x, y, w, h in rects:
+        prob[y:y + h, x:x + w] = 0.9
+
+    host = DBPostProcessor(thresh=0.3, box_thresh=0.6, unclip_ratio=1.5)
+    hboxes, hscores = host(prob)
+
+    dboxes, dscores, dvalid = extract_boxes(
+        jnp.asarray(prob), 0.3, 0.6, 1.5, 10.0, max_boxes=16)
+    dboxes = np.asarray(dboxes)[np.asarray(dvalid)]
+
+    assert len(hboxes) == len(dboxes) == 3
+    # compare bounding rects of host polygons vs device boxes
+    hrects = sorted(
+        (b[:, 0].min(), b[:, 1].min(), b[:, 0].max(), b[:, 1].max())
+        for b in hboxes
+    )
+    drects = sorted(map(tuple, dboxes))
+    for hr, dr in zip(hrects, drects):
+        assert np.abs(np.asarray(hr) - np.asarray(dr)).max() < 4.0
