@@ -130,12 +130,14 @@ class DBNetPP(nn.Module):
     inner_channels: int = 256
     k: float = 50.0
     dcn: bool = True
+    dcn_mode: str = "gather"  # fastest today; "local" = bounded-offset variant
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
-        feats = ResNet(name_=self.backbone, dcn=self.dcn, dtype=self.dtype,
+        feats = ResNet(name_=self.backbone, dcn=self.dcn,
+                       dcn_mode=self.dcn_mode, dtype=self.dtype,
                        name="backbone")(x, train)
         fused = FPN_ASF(self.inner_channels, dtype=self.dtype, name="neck")(
             feats, train

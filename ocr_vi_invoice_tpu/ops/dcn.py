@@ -60,6 +60,45 @@ def _bilinear_gather(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.
     )
 
 
+def _patch_gather_bilinear(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray
+                           ) -> jnp.ndarray:
+    """Bilinear sample via ONE 2x2xC patch gather per point (instead of 4
+    row gathers): img (H, W, C), ys/xs (...,) -> (..., C). Zero padding
+    outside handled by pre-padding + index clamping."""
+    H, W, C = img.shape
+    # pad by 1 top/left and 2 bottom/right: patch start clamped to
+    # [0, H+1] so the 2x2 window always reads in-bounds; the pad ring is 0.
+    imgp = jnp.pad(img, ((1, 2), (1, 2), (0, 0)))
+    y0f = jnp.floor(ys)
+    x0f = jnp.floor(xs)
+    wy = (ys - y0f)[..., None].astype(img.dtype)
+    wx = (xs - x0f)[..., None].astype(img.dtype)
+    y0 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, H + 1)
+    x0 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, W + 1)
+    # out-of-range samples (completely outside) must contribute 0: the pad
+    # ring is zero and clamping keeps fully-outside patches in the ring
+    # only when |coord| <= 1 beyond the edge; mask the rest explicitly.
+    inside = (
+        (ys > -1.0) & (ys < H) & (xs > -1.0) & (xs < W)
+    )[..., None].astype(img.dtype)
+
+    idx = jnp.stack([y0, x0], axis=-1)  # (..., 2)
+    patches = jax.lax.gather(
+        imgp,
+        idx,
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=tuple(range(idx.ndim - 1, idx.ndim + 2)),
+            collapsed_slice_dims=(),
+            start_index_map=(0, 1),
+        ),
+        slice_sizes=(2, 2, C),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # (..., 2, 2, C)
+    top = patches[..., 0, 0, :] * (1 - wx) + patches[..., 0, 1, :] * wx
+    bot = patches[..., 1, 0, :] * (1 - wx) + patches[..., 1, 1, :] * wx
+    return (top * (1 - wy) + bot * wy) * inside
+
+
 def deform_conv2d(
     x: jnp.ndarray,
     offset: jnp.ndarray,
@@ -68,6 +107,7 @@ def deform_conv2d(
     stride: int = 1,
     padding: int = 1,
     dilation: int = 1,
+    use_patch_gather: bool = True,
 ) -> jnp.ndarray:
     """Modulated deformable convolution (NHWC).
 
@@ -100,7 +140,10 @@ def deform_conv2d(
     xs = base_x.astype(jnp.float32)[None, :, :, :] + dx
 
     def per_image(img, ys_i, xs_i, m_i):
-        s = _bilinear_gather(img, ys_i, xs_i)  # (Ho, Wo, K, Cin)
+        if use_patch_gather:
+            s = _patch_gather_bilinear(img, ys_i, xs_i)
+        else:
+            s = _bilinear_gather(img, ys_i, xs_i)  # (Ho, Wo, K, Cin)
         return s * m_i[..., None].astype(img.dtype)
 
     sampled = jax.vmap(per_image)(x, ys, xs, mask)  # (B, Ho, Wo, K, Cin)
@@ -113,3 +156,121 @@ def deform_conv2d(
         dimension_numbers=(((3,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
+
+
+# --------------------------------------------------------------------------- #
+# Bounded-offset DCN: gather-free shift decomposition (TPU fast path)
+# --------------------------------------------------------------------------- #
+
+
+def deform_conv2d_local(
+    x: jnp.ndarray,
+    offset: jnp.ndarray,
+    mask: jnp.ndarray,
+    weight: jnp.ndarray,
+    stride: int = 1,
+    padding: int = 1,
+    radius: int = 3,
+) -> jnp.ndarray:
+    """Modulated deformable conv with offsets bounded to ``[-radius, radius]``.
+
+    TPU has no fast per-lane gather (XLA lowers DCN's bilinear gather to
+    scalar loads — measured 22 ms of a 29 ms DBNet++ forward at 960²).
+    Bounding the learned offsets makes sampling *local*, so the gather
+    becomes data-independent work the VPU is built for:
+
+        x(p + k + Δ) = Σ_{u,v∈[-R,R+1]} hat(Δy−u)·hat(Δx−v) · shift_{u,v}(x)(p+k)
+
+    i.e. a per-position bilinear-weighted sum over (2R+2)² statically
+    shifted copies of the input (hat(t)=max(0,1−|t|) selects ≤4 nonzero
+    terms). Shifts are pads/slices XLA fuses; no dynamic indexing exists
+    anywhere. Offsets are clamped with a hard clip; the VJP through clip
+    gives zero gradient outside the bound, which empirically keeps
+    offsets small (they start at zero via the zero-init offset conv).
+
+    This changes DCN semantics only when |offset| > radius — a deliberate
+    architecture choice for from-scratch TPU training. Use
+    ``deform_conv2d`` for exact torchvision semantics.
+
+    Status: as plain XLA this formulation loses to the gather (XLA
+    materializes the per-shift intermediates in HBM — measured 56-220 ms
+    vs 29.6 ms for the full 960² DBNet forward depending on contraction
+    shape), so ``DeformableConv2d`` defaults to mode='gather'. The VMEM-
+    resident Pallas fusion of exactly this recurrence is the planned fast
+    path: ~576 fused VPU mul-adds per tile with zero extra HBM traffic.
+
+    Only stride 1/2 with 3x3 kernels (the DBNet use case) are exercised.
+    """
+    B, H, W, Cin = x.shape
+    kh, kw, _, Cout = weight.shape
+    K = kh * kw
+    Ho, Wo = offset.shape[1], offset.shape[2]
+    R = radius
+    compute = x.dtype
+
+    dy = jnp.clip(offset[..., 0::2].astype(jnp.float32), -R, R)  # (B,Ho,Wo,K)
+    dx = jnp.clip(offset[..., 1::2].astype(jnp.float32), -R, R)
+
+    # Integer shift lattice: sample row = i*stride - padding + (ti + u),
+    # ti in [0,kh), u in [-R, R+1] => delta in [-R, kh-1+R+1]; same for x.
+    Sy = 2 * R + kh + 1
+    Sx = 2 * R + kw + 1
+    d0 = -R  # first delta value
+
+    # hat weights per tap and delta, one broadcast op per axis:
+    # WY[..., t, s] = max(0, 1 - |dy_t - (delta_s - ti)|)
+    ti = (jnp.arange(K) // kw).astype(jnp.float32)
+    tj = (jnp.arange(K) % kw).astype(jnp.float32)
+    dys = jnp.arange(Sy, dtype=jnp.float32) + d0
+    dxs = jnp.arange(Sx, dtype=jnp.float32) + d0
+    WY = jnp.maximum(
+        0.0, 1.0 - jnp.abs(dy[..., None] - (dys[None, :] - ti[:, None]))
+    ).astype(compute)  # (B,Ho,Wo,K,Sy)
+    WX = jnp.maximum(
+        0.0, 1.0 - jnp.abs(dx[..., None] - (dxs[None, :] - tj[:, None]))
+    ).astype(compute)  # (B,Ho,Wo,K,Sx)
+    WX = WX * mask[..., None].astype(compute)  # fold modulation in
+
+    # Pad so row/col windows are in range: row index i*stride - padding + d,
+    # d in [d0, d0+Sy).
+    pad_lo = padding + R
+    pad_hi_y = (Ho - 1) * stride + d0 + Sy - 1 - padding - (H - 1)
+    pad_hi_x = (Wo - 1) * stride + d0 + Sx - 1 - padding - (W - 1)
+    xp = jnp.pad(
+        x, ((0, 0), (pad_lo, max(pad_hi_y, 0)), (pad_lo, max(pad_hi_x, 0)),
+            (0, 0))
+    )
+    Hp, Wp = xp.shape[1], xp.shape[2]
+
+    # Accumulate over row shifts; per shift, all column shifts come from one
+    # patch extraction and one batched MXU contraction over (C, Sx).
+    sampled = jnp.zeros((B, Ho, Wo, K, Cin), compute)
+    for sy in range(Sy):
+        # rows: i*stride + sy (in padded coords), strided static slice
+        row0 = sy
+        rows = jax.lax.slice(
+            xp, (0, row0, 0, 0),
+            (B, row0 + (Ho - 1) * stride + 1, Wp, Cin),
+            (1, stride, 1, 1),
+        )  # (B, Ho, Wp, Cin)
+        # column patches: (B, Ho, Wo, Cin*Sx), channel-major (c, sx)
+        px = jax.lax.conv_general_dilated_patches(
+            rows, (1, Sx), (1, stride), ((0, 0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ).reshape(B, Ho, Wo, Cin, Sx)
+        # contract column shifts per tap on the VPU (explicit mul-sum —
+        # a batched (9x10)@(10xC) einsum under-fills the MXU and loses).
+        wy_sy = WY[..., sy]  # (B,Ho,Wo,K)
+        per_tap = []
+        for t in range(K):
+            wts = (WX[..., t, :] * wy_sy[..., t:t + 1])[..., None, :]  # (B,H,W,1,Sx)
+            per_tap.append((wts * px).sum(-1))  # (B,Ho,Wo,Cin)
+        sampled = sampled + jnp.stack(per_tap, axis=3)
+
+    out = jax.lax.dot_general(
+        sampled.reshape(B, Ho, Wo, K * Cin),
+        weight.reshape(K * Cin, Cout).astype(compute),
+        dimension_numbers=(((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    return out
