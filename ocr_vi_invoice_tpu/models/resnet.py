@@ -72,7 +72,16 @@ class DeformableConv2d(nn.Module):
             nn.initializers.variance_scaling(2.0 / (1 + 1), "fan_in", "uniform"),
             (self.kernel_size, self.kernel_size, x.shape[-1], self.features),
         )
-        if self.mode == "local" and self.dilation == 1:
+        if self.mode == "pallas" and self.dilation == 1:
+            from ocr_vi_invoice_tpu.ops.pallas.dcn_kernel import (
+                deform_conv2d_pallas,
+            )
+
+            out = deform_conv2d_pallas(
+                x, offset, mask, weight.astype(self.dtype),
+                self.strides, self.padding, self.radius,
+            )
+        elif self.mode == "local" and self.dilation == 1:
             out = deform_conv2d_local(
                 x, offset, mask, weight.astype(self.dtype),
                 stride=self.strides, padding=self.padding, radius=self.radius,

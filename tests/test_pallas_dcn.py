@@ -1,0 +1,70 @@
+"""Pallas DCN kernel: interpret-mode parity with the exact gather path.
+
+(The compiled kernel is exercised on real TPU by bench/verification runs;
+CI here runs the interpreter so the math is covered on CPU.)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+import ocr_vi_invoice_tpu.ops.pallas.dcn_kernel as DK
+from ocr_vi_invoice_tpu.ops.dcn import deform_conv2d
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(DK.pl, "pallas_call", patched)
+
+
+def _case(stride, Ho, Wo, seed=0):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(2, 12, 16, 8), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 8, 16), jnp.float32)
+    off = jnp.clip(jnp.asarray(rng.randn(2, Ho, Wo, 18) * 1.2, jnp.float32),
+                   -2.9, 2.9)
+    m = jnp.asarray(rng.rand(2, Ho, Wo, 9), jnp.float32)
+    return x, off, m, w
+
+
+@pytest.mark.parametrize("stride,Ho,Wo", [(1, 12, 16), (2, 6, 8)])
+def test_matches_gather(stride, Ho, Wo):
+    x, off, m, w = _case(stride, Ho, Wo)
+    ref = deform_conv2d(x, off, m, w, stride=stride)
+    out = DK.deform_conv2d_pallas(x, off, m, w, stride, 1, 3, 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_non_divisible_rows():
+    # Ho=12 with tile_h=5 -> padding branch
+    x, off, m, w = _case(1, 12, 16, seed=1)
+    ref = deform_conv2d(x, off, m, w)
+    out = DK.deform_conv2d_pallas(x, off, m, w, 1, 1, 3, 5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_backward_via_xla_path():
+    x, off, m, w = _case(1, 12, 16, seed=2)
+
+    def f(x_, o_, m_, w_):
+        return DK.deform_conv2d_pallas(x_, o_, m_, w_, 1, 1, 3, 4).sum()
+
+    grads = jax.grad(f, argnums=(0, 1, 2, 3))(x, off, m, w)
+
+    def fr(x_, o_, m_, w_):
+        return deform_conv2d(x_, o_, m_, w_).sum()
+
+    refs = jax.grad(fr, argnums=(0, 1, 2, 3))(x, off, m, w)
+    for g, r in zip(grads, refs):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-3, atol=1e-3)
