@@ -13,7 +13,7 @@ All functions: uint8 RGB in/out, numpy + cv2, pure host side.
 from __future__ import annotations
 
 import math
-from typing import Callable, List, Tuple
+from typing import List, Tuple
 
 import cv2
 import numpy as np

@@ -2,8 +2,6 @@
 
 from __future__ import annotations
 
-import numpy as np
-
 from ocr_vi_invoice_tpu.generator.base_layout import BaseLayout, LayoutConfig
 
 

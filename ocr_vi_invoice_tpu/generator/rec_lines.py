@@ -17,8 +17,6 @@ from __future__ import annotations
 import argparse
 import time
 from pathlib import Path
-from typing import Tuple
-
 import cv2
 import numpy as np
 from PIL import Image, ImageDraw

@@ -12,8 +12,6 @@ from collections import Counter
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
-import numpy as np
-
 from ocr_vi_invoice_tpu.generator.generator import (
     GenerationScenario,
     SyntheticInvoiceGenerator,

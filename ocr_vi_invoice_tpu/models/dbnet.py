@@ -14,7 +14,7 @@ from typing import Any, Dict, List
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ocr_vi_invoice_tpu.models.layers import ConvBN, kaiming_out_init, torch_pad
+from ocr_vi_invoice_tpu.models.layers import ConvBN, kaiming_out_init
 from ocr_vi_invoice_tpu.models.resnet import ResNet
 from ocr_vi_invoice_tpu.ops.image import (
     resize_bilinear_align_corners,

@@ -9,7 +9,7 @@ ConvStem GELU variant `model/rec2/svtrv2.py:106-122`.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple, Union
+from typing import Any, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ right character context cross-attended to the visual features.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ side maps, all sigmoided, at input resolution.
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Tuple
 
 import jax
 import jax.numpy as jnp

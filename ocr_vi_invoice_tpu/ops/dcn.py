@@ -21,8 +21,6 @@ needed at these sizes.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -11,8 +11,6 @@ the recognizer without leaving the chip.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

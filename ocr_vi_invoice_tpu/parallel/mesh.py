@@ -18,7 +18,6 @@ from the sharding annotations.
 
 from __future__ import annotations
 
-import math
 import re
 from typing import Optional, Sequence, Tuple
 

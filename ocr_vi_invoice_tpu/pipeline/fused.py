@@ -18,8 +18,7 @@ where the tokenizer maps ids to strings.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 

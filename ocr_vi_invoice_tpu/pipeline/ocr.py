@@ -164,7 +164,8 @@ class OCRPipeline:
 
     def __call__(self, image_rgb: np.ndarray, preprocess: Optional[bool] = None
                  ) -> List[Dict]:
-        if preprocess if preprocess is not None else self.cfg.preprocess:
+        do_scan = self.cfg.preprocess if preprocess is None else preprocess
+        if do_scan:
             image_rgb = self._preprocess_scan(image_rgb)
         boxes, scores = self.detect(image_rgb)
         crops = [crop_image(image_rgb, b) for b in boxes]

@@ -10,7 +10,7 @@
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import jax.numpy as jnp
 import numpy as np

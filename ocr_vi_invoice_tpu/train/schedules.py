@@ -14,10 +14,7 @@ equivalent and the schedule simply steps every update.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
-import jax.numpy as jnp
 import optax
 
 

@@ -17,7 +17,7 @@ Reference semantics preserved:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict
 
 import flax
 import jax

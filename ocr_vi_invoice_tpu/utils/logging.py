@@ -11,7 +11,7 @@ import csv
 import os
 import time
 from pathlib import Path
-from typing import Dict, Iterable, Sequence
+from typing import Dict, Sequence
 
 DET_COLUMNS = [
     "epoch", "lr", "train_loss", "val_loss", "val_precision", "val_recall",
