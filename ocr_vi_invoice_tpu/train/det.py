@@ -81,6 +81,8 @@ def main(argv=None):
     ap.add_argument("--no_dcn", action="store_true")
     ap.add_argument("--max_steps_per_epoch", type=int, default=0,
                     help="debug: cap steps per epoch")
+    ap.add_argument("--log_every", type=int, default=100,
+                    help="print step progress every N steps (0=off)")
     args = ap.parse_args(argv)
 
     mesh = make_mesh()
@@ -143,6 +145,11 @@ def main(argv=None):
             state, metrics = train_step(state, shard_batch(mesh, batch))
             total_loss += float(metrics["loss"])
             steps += 1
+            if args.log_every and steps % args.log_every == 0:
+                rate = steps / max(time.time() - t0, 1e-9)
+                print(f"  step {steps}/{steps_per_epoch} | "
+                      f"loss {total_loss / steps:.4f} | {rate:.2f} it/s",
+                      flush=True)
             if args.max_steps_per_epoch and steps >= args.max_steps_per_epoch:
                 break
         train_loss = total_loss / max(steps, 1)
