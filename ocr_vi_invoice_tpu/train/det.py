@@ -79,6 +79,10 @@ def main(argv=None):
     ap.add_argument("--resume", type=str, default=None)
     ap.add_argument("--checkpoint_every", type=int, default=5)
     ap.add_argument("--no_dcn", action="store_true")
+    ap.add_argument("--dcn_mode", default="local",
+                    choices=["local", "gather", "pallas"],
+                    help="DCN sampling path; 'local' (bounded offsets) "
+                         "trains 3x faster than exact 'gather' on TPU")
     ap.add_argument("--max_steps_per_epoch", type=int, default=0,
                     help="debug: cap steps per epoch")
     ap.add_argument("--log_every", type=int, default=100,
@@ -98,7 +102,8 @@ def main(argv=None):
     print(f"Train {len(train_ds)} / val {len(val_ds)}"
           + (f" / test {len(test_ds)}" if test_ds else ""))
 
-    model = DBNetPP(dcn=not args.no_dcn, dtype=jnp.bfloat16)
+    model = DBNetPP(dcn=not args.no_dcn, dcn_mode=args.dcn_mode,
+                    dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(42)
     sample = jnp.zeros((args.batch_size, args.image_size, args.image_size, 3),
                        jnp.bfloat16)
@@ -173,7 +178,8 @@ def main(argv=None):
         if val["f1"] > best_f1:
             best_f1 = val["f1"]
             ckpt.save_best(epoch, state.params, state.batch_stats, best_f1,
-                           {"val_metrics": {k: float(v) for k, v in val.items()}})
+                           {"val_metrics": {k: float(v) for k, v in val.items()},
+                            "dcn_mode": args.dcn_mode, "dcn": not args.no_dcn})
             print(f"  -> saved best model (F1 {best_f1:.4f})")
         ckpt.maybe_save_periodic(epoch, state.params, state.batch_stats, best_f1)
 

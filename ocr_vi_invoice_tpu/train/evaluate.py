@@ -27,8 +27,10 @@ def eval_det(args):
     mesh = make_mesh()
     ds = DetectionDataset(args.data_dir, args.image_size, is_training=False)
     print(f"Eval on {len(ds)} samples")
-    model = DBNetPP(dcn=not args.no_dcn, dtype=jnp.bfloat16)
     restored = load_weights(args.model)
+    model = DBNetPP(dcn=restored.get("dcn", not args.no_dcn),
+                    dcn_mode=restored.get("dcn_mode", "gather"),
+                    dtype=jnp.bfloat16)
     state = TrainState.create(
         restored["params"], restored["batch_stats"], optax.identity()
     )
