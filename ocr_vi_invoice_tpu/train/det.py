@@ -50,6 +50,10 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from ocr_vi_invoice_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from ocr_vi_invoice_tpu.data.det_dataset import DetectionDataset
     from ocr_vi_invoice_tpu.data.loader import iterate, num_batches
     from ocr_vi_invoice_tpu.models.dbnet import DBNetPP
