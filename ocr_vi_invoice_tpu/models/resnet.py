@@ -72,7 +72,7 @@ class DeformableConv2d(nn.Module):
             nn.initializers.variance_scaling(2.0 / (1 + 1), "fan_in", "uniform"),
             (self.kernel_size, self.kernel_size, x.shape[-1], self.features),
         )
-        if self.mode == "pallas" and self.dilation == 1:
+        if self.mode == "pallas" and self.dilation == 1 and self.strides == 1:
             from ocr_vi_invoice_tpu.ops.pallas.dcn_kernel import (
                 deform_conv2d_pallas,
             )
@@ -80,6 +80,19 @@ class DeformableConv2d(nn.Module):
             out = deform_conv2d_pallas(
                 x, offset, mask, weight.astype(self.dtype),
                 self.strides, self.padding, self.radius,
+            )
+        elif self.mode == "pallas" and self.dilation == 1:
+            # Stride-2 DCN layers (first bottleneck of each stage): Mosaic
+            # can't express strided window slices, so keep the gather path
+            # but clip offsets to the radius — bilinear sampling of a
+            # clipped offset is exactly the bounded-offset (local/pallas)
+            # semantics, so the whole 'pallas' model is one consistent
+            # function of the parameters.
+            out = deform_conv2d(
+                x, jnp.clip(offset, -self.radius, self.radius), mask,
+                weight.astype(self.dtype),
+                stride=self.strides, padding=self.padding,
+                dilation=self.dilation,
             )
         elif self.mode == "local" and self.dilation == 1:
             out = deform_conv2d_local(

@@ -35,13 +35,20 @@ def _case(stride, Ho, Wo, seed=0):
     return x, off, m, w
 
 
-@pytest.mark.parametrize("stride,Ho,Wo", [(1, 12, 16), (2, 6, 8)])
-def test_matches_gather(stride, Ho, Wo):
-    x, off, m, w = _case(stride, Ho, Wo)
-    ref = deform_conv2d(x, off, m, w, stride=stride)
-    out = DK.deform_conv2d_pallas(x, off, m, w, stride, 1, 3, 4)
+def test_matches_gather():
+    x, off, m, w = _case(1, 12, 16)
+    ref = deform_conv2d(x, off, m, w, stride=1)
+    out = DK.deform_conv2d_pallas(x, off, m, w, 1, 1, 3, 4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_stride2_rejected():
+    # Stride-2 layers use the clipped-offset gather path in the model
+    # wiring (resnet.py); the Pallas kernel is stride-1 only.
+    x, off, m, w = _case(2, 6, 8)
+    with pytest.raises(ValueError):
+        DK.deform_conv2d_pallas(x, off, m, w, 2, 1, 3, 4)
 
 
 def test_non_divisible_rows():
