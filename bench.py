@@ -70,7 +70,10 @@ def main():
     from ocr_vi_invoice_tpu.models.dbnet import DBNetPP
     from ocr_vi_invoice_tpu.models.svtrv2 import SVTRv2
 
-    det = DBNetPP(dcn=True, dtype=jnp.bfloat16)
+    # dcn_mode="pallas": the Pallas DCN kernel (stride-1 layers) beats the
+    # XLA gather by ~10% at 960px and matches the bounded-offset ("local")
+    # semantics the shipped checkpoints are trained with.
+    det = DBNetPP(dcn=True, dcn_mode="pallas", dtype=jnp.bfloat16)
     rec = SVTRv2(variant="base", dtype=jnp.bfloat16)
 
     key = jax.random.PRNGKey(0)

@@ -130,7 +130,9 @@ class DBNetPP(nn.Module):
     inner_channels: int = 256
     k: float = 50.0
     dcn: bool = True
-    dcn_mode: str = "gather"  # fastest today; "local" = bounded-offset variant
+    dcn_mode: str = "gather"  # exact torchvision semantics, works on any
+    # backend; "pallas" (TPU) is ~10% faster and "local" is its XLA
+    # equivalent — both use bounded (radius-clipped) offsets
     dtype: Dtype = jnp.float32
 
     @nn.compact

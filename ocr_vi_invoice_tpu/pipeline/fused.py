@@ -35,6 +35,7 @@ class FusedOCR:
         cfg: Optional[PipelineConfig] = None,
         rec_variant: str = "base",
         dtype=None,
+        dcn_mode: str = "gather",
     ):
         import jax
         import jax.numpy as jnp
@@ -48,7 +49,7 @@ class FusedOCR:
         self.cfg = cfg or PipelineConfig()
         self.dtype = dtype or jnp.bfloat16
         self.tokenizer = Tokenizer()
-        det = DBNetPP(dcn=True, dtype=self.dtype)
+        det = DBNetPP(dcn=True, dcn_mode=dcn_mode, dtype=self.dtype)
         rec = SVTRv2(variant=rec_variant, dtype=self.dtype)
         self.det_vars = det_vars
         self.rec_vars = rec_vars

@@ -41,6 +41,7 @@ class OCRPipeline:
         cfg: Optional[PipelineConfig] = None,
         rec_variant: str = "base",
         dtype=None,
+        dcn_mode: Optional[str] = None,
     ):
         import jax
         import jax.numpy as jnp
@@ -55,31 +56,43 @@ class OCRPipeline:
         self.dtype = dtype or jnp.bfloat16
         self.tokenizer = Tokenizer()
 
-        self.det = DBNetPP(dcn=True, dtype=self.dtype)
-        self.rec = SVTRv2(variant=rec_variant, dtype=self.dtype)
-
         key = jax.random.PRNGKey(0)
         s = self.cfg.det_image_size
         det_x = jnp.zeros((1, s, s, 3), self.dtype)
         rec_h, rec_w = self.cfg.rec_img_size
         rec_x = jnp.zeros((self.cfg.rec_batch_size, rec_h, rec_w, 3), self.dtype)
 
-        def load_or_zeros(ckpt, model, *args):
+        def load_or_zeros(ckpt, make_model, *args):
             if ckpt:
                 from ocr_vi_invoice_tpu.train.checkpoint import load_weights
 
                 restored = load_weights(ckpt)
-                return {"params": restored["params"],
-                        "batch_stats": restored["batch_stats"]}
+                return make_model(restored), {
+                    "params": restored["params"],
+                    "batch_stats": restored["batch_stats"],
+                }
             # No checkpoint: zero weights from shape inference only (cheap —
             # avoids compiling an init program). Smoke/plumbing mode.
+            model = make_model({})
             shapes = jax.eval_shape(lambda: model.init(key, *args))
-            return jax.tree_util.tree_map(
+            return model, jax.tree_util.tree_map(
                 lambda s: jnp.zeros(s.shape, s.dtype), shapes
             )
 
-        self.det_vars = load_or_zeros(det_ckpt, self.det, det_x)
-        self.rec_vars = load_or_zeros(rec_ckpt, self.rec, rec_x)
+        def make_det(meta):
+            # Honor the sampling path the checkpoint was trained with
+            # (train/det.py records dcn_mode in meta), unless overridden.
+            mode = dcn_mode or meta.get("dcn_mode", "gather")
+            return DBNetPP(dcn=meta.get("dcn", True), dcn_mode=mode,
+                           dtype=self.dtype)
+
+        self.det, self.det_vars = load_or_zeros(det_ckpt, make_det, det_x)
+        self.rec, self.rec_vars = load_or_zeros(
+            rec_ckpt,
+            lambda meta: SVTRv2(variant=meta.get("variant", rec_variant),
+                                dtype=self.dtype),
+            rec_x,
+        )
 
         self._det_fwd = jax.jit(lambda v, x: self.det.apply(v, x)["binary"])
         self._rec_fwd = jax.jit(

@@ -114,7 +114,8 @@ def main(argv=None):
             key, jnp.zeros((1, 32, 256, 3), jnp.bfloat16)
         ),
     )
-    fused = FusedOCR(det_vars, rec_vars, cfg, rec_variant=args.rec_variant)
+    fused = FusedOCR(det_vars, rec_vars, cfg, rec_variant=args.rec_variant,
+                     dcn_mode=det_meta.get("dcn_mode", "gather"))
 
     paths = sorted(
         p for p in Path(args.input_dir).iterdir()
