@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import time
+from functools import partial
 from pathlib import Path
 
 import numpy as np
@@ -111,7 +112,9 @@ def main(argv=None):
     rng = jax.random.PRNGKey(42)
     sample = jnp.zeros((args.batch_size, args.image_size, args.image_size, 3),
                        jnp.bfloat16)
-    variables = model.init(rng, sample, train=True)
+    # jit the init: one compiled program instead of hundreds of eager
+    # device calls (matters behind a high-latency device relay).
+    variables = jax.jit(partial(model.init, train=True))(rng, sample)
     if args.resume:
         restored = load_weights(args.resume)
         variables = {

@@ -119,7 +119,9 @@ def main(argv=None):
     rng = jax.random.PRNGKey(42)
     x = jnp.zeros((args.batch_size, args.img_height, args.img_width, 3), jnp.bfloat16)
     t = jnp.ones((args.batch_size, args.max_label_len), jnp.int32)
-    variables = model.init(rng, x, targets=t, train=True)
+    variables = jax.jit(
+        lambda r, x_, t_: model.init(r, x_, targets=t_, train=True)
+    )(rng, x, t)
     if args.resume:
         restored = load_weights(args.resume)
         variables = {"params": restored["params"],

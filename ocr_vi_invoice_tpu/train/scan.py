@@ -47,7 +47,7 @@ def main(argv=None):
 
     rng = jax.random.PRNGKey(args.seed)
     x0 = jnp.zeros((args.batch_size, args.height, args.width, 3), jnp.bfloat16)
-    variables = model.init(rng, x0, train=True)
+    variables = jax.jit(lambda r, x_: model.init(r, x_, train=True))(rng, x0)
     tx = optax.chain(
         optax.clip_by_global_norm(5.0),
         optax.adamw(optax.cosine_onecycle_schedule(args.steps, args.lr),
