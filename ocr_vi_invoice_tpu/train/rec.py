@@ -78,6 +78,8 @@ def main(argv=None):
                     default="data/archive/text_recognition_mcocr_data/text_recognition_mcocr_data")
     ap.add_argument("--test_annotation", type=str,
                     default="data/archive/text_recognition_val_data.txt")
+    ap.add_argument("--test_img_dir", type=str, default=None,
+                    help="image dir for --test_annotation (default: val_img_dir)")
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--batch_size", type=int, default=64)
     ap.add_argument("--lr", type=float, default=6.5e-4)
@@ -107,6 +109,7 @@ def main(argv=None):
         val_annotation=args.val_annotation,
         val_img_dir=args.val_img_dir,
         test_annotation=args.test_annotation,
+        test_img_dir=args.test_img_dir,
         img_size=(args.img_height, args.img_width),
         augment=args.augment,
         max_label_len=args.max_label_len,
@@ -117,8 +120,10 @@ def main(argv=None):
     tokenizer = Tokenizer()
     model = SVTRv2(variant=args.variant, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(42)
-    x = jnp.zeros((args.batch_size, args.img_height, args.img_width, 3), jnp.bfloat16)
-    t = jnp.ones((args.batch_size, args.max_label_len), jnp.int32)
+    # Init on batch 1: param shapes are batch-independent and flax init
+    # runs a full forward, so this keeps the init program small.
+    x = jnp.zeros((1, args.img_height, args.img_width, 3), jnp.bfloat16)
+    t = jnp.ones((1, args.max_label_len), jnp.int32)
     variables = jax.jit(
         lambda r, x_, t_: model.init(r, x_, targets=t_, train=True)
     )(rng, x, t)
