@@ -238,19 +238,33 @@ def deform_conv2d_local(
         x, ((0, 0), (pad_lo, max(pad_hi_y, 0)), (pad_lo, max(pad_hi_x, 0)),
             (0, 0))
     )
-    Hp, Wp = xp.shape[1], xp.shape[2]
+    Wp = xp.shape[2]
 
-    # Accumulate over row shifts; per shift, all column shifts come from one
-    # patch extraction and one batched MXU contraction over (C, Sx).
-    sampled = jnp.zeros((B, Ho, Wo, K, Cin), compute)
-    for sy in range(Sy):
-        # rows: i*stride + sy (in padded coords), strided static slice
-        row0 = sy
-        rows = jax.lax.slice(
-            xp, (0, row0, 0, 0),
-            (B, row0 + (Ho - 1) * stride + 1, Wp, Cin),
-            (1, stride, 1, 1),
-        )  # (B, Ho, Wp, Cin)
+    # Row shift sy selects xp rows sy + stride*i — i.e. row q = sy//stride
+    # of the stride-parity view p = sy%stride. Pre-cutting the (static)
+    # parity views lets the row-shift loop below be a lax.scan with one
+    # dynamic_slice per iteration instead of Sy unrolled strided slices.
+    # Loop-as-scan matters beyond aesthetics: unrolled, the det train
+    # step's fwd+bwd HLO reached a 68 MB executable (10 DCN layers x Sy
+    # shifts x K taps), which the TPU runtime choked on; as a scan the
+    # program is ~Sy x smaller with identical math and summation order.
+    q_max = (Sy - 1) // stride
+    par_rows = q_max + Ho  # rows needed per parity view
+    views = []
+    for p in range(stride):
+        v = xp[:, p::stride]
+        views.append(jnp.pad(v, ((0, 0), (0, max(par_rows - v.shape[1], 0)),
+                                 (0, 0), (0, 0)))[:, :par_rows])
+    xv = jnp.stack(views)  # (stride, B, par_rows, Wp, Cin)
+
+    WYs = jnp.moveaxis(WY, -1, 0)  # (Sy, B, Ho, Wo, K)
+
+    def body(sampled, inp):
+        sy, wy_sy = inp
+        rows = jax.lax.dynamic_slice(
+            xv, (sy % stride, 0, sy // stride, 0, 0),
+            (1, B, Ho, Wp, Cin),
+        )[0]  # (B, Ho, Wp, Cin)
         # column patches: (B, Ho, Wo, Cin*Sx), channel-major (c, sx)
         px = jax.lax.conv_general_dilated_patches(
             rows, (1, Sx), (1, stride), ((0, 0), (0, 0)),
@@ -258,12 +272,14 @@ def deform_conv2d_local(
         ).reshape(B, Ho, Wo, Cin, Sx)
         # contract column shifts per tap on the VPU (explicit mul-sum —
         # a batched (9x10)@(10xC) einsum under-fills the MXU and loses).
-        wy_sy = WY[..., sy]  # (B,Ho,Wo,K)
         per_tap = []
         for t in range(K):
-            wts = (WX[..., t, :] * wy_sy[..., t:t + 1])[..., None, :]  # (B,H,W,1,Sx)
+            wts = (WX[..., t, :] * wy_sy[..., t:t + 1])[..., None, :]
             per_tap.append((wts * px).sum(-1))  # (B,Ho,Wo,Cin)
-        sampled = sampled + jnp.stack(per_tap, axis=3)
+        return sampled + jnp.stack(per_tap, axis=3), None
+
+    sampled = jnp.zeros((B, Ho, Wo, K, Cin), compute)
+    sampled, _ = jax.lax.scan(body, sampled, (jnp.arange(Sy), WYs))
 
     out = jax.lax.dot_general(
         sampled.reshape(B, Ho, Wo, K * Cin),
