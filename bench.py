@@ -60,7 +60,27 @@ def _timed(fn, *args, n_lo=2, n_hi=12):
     return max(t_hi - t_lo, 1e-9) / (n_hi - n_lo)
 
 
+def _arm_watchdog(seconds: int = 1200) -> None:
+    """Hard wall-clock bound: the dev TPU sits behind a relay that can
+    wedge (device calls block forever, unkillable by timeout(1) because
+    the hang is in a worker thread). SIGALRM aborts the process instead
+    of hanging the driver's bench run."""
+    import signal
+
+    def _abort(signum, frame):
+        print(json.dumps({
+            "metric": "e2e_invoices_per_sec", "value": 0.0,
+            "unit": "invoices/s/chip", "vs_baseline": 0.0,
+            "error": f"watchdog: device unresponsive after {seconds}s",
+        }), flush=True)
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, _abort)
+    signal.alarm(seconds)
+
+
 def main():
+    _arm_watchdog()
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
