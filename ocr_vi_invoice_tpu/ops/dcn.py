@@ -190,12 +190,13 @@ def deform_conv2d_local(
     architecture choice for from-scratch TPU training. Use
     ``deform_conv2d`` for exact torchvision semantics.
 
-    Status: as plain XLA this formulation loses to the gather (XLA
-    materializes the per-shift intermediates in HBM — measured 56-220 ms
-    vs 29.6 ms for the full 960² DBNet forward depending on contraction
-    shape), so ``DeformableConv2d`` defaults to mode='gather'. The VMEM-
-    resident Pallas fusion of exactly this recurrence is the planned fast
-    path: ~576 fused VPU mul-adds per tile with zero extra HBM traffic.
+    Status: for INFERENCE the VMEM-resident Pallas fusion of this
+    recurrence (`ops/pallas/dcn_kernel.py`) is the fast path (beats the
+    gather ~10% at 960²); as plain XLA the forward loses to the gather
+    (the per-shift intermediates round-trip through HBM). For TRAINING
+    this formulation is the right one: the gather's backward scatters
+    are ~3x slower than the shift-decomposition's slice-adds, so
+    `train/det.py` defaults to mode='local'.
 
     Only stride 1/2 with 3x3 kernels (the DBNet use case) are exercised.
     """
@@ -278,8 +279,13 @@ def deform_conv2d_local(
             per_tap.append((wts * px).sum(-1))  # (B,Ho,Wo,Cin)
         return sampled + jnp.stack(per_tap, axis=3), None
 
+    # checkpoint the body: without it scan stacks each iteration's
+    # residuals (the 2R+kw+1-wide column patches are Sx x the input) for
+    # the backward pass — rematerializing them from the carried inputs is
+    # far cheaper than the HBM round-trip.
     sampled = jnp.zeros((B, Ho, Wo, K, Cin), compute)
-    sampled, _ = jax.lax.scan(body, sampled, (jnp.arange(Sy), WYs))
+    sampled, _ = jax.lax.scan(jax.checkpoint(body), sampled,
+                              (jnp.arange(Sy), WYs))
 
     out = jax.lax.dot_general(
         sampled.reshape(B, Ho, Wo, K * Cin),

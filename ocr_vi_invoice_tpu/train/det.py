@@ -110,10 +110,12 @@ def main(argv=None):
     model = DBNetPP(dcn=not args.no_dcn, dcn_mode=args.dcn_mode,
                     dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(42)
-    sample = jnp.zeros((args.batch_size, args.image_size, args.image_size, 3),
-                       jnp.bfloat16)
     # jit the init: one compiled program instead of hundreds of eager
-    # device calls (matters behind a high-latency device relay).
+    # device calls (matters behind a high-latency device relay). Init on
+    # a tiny spatial sample — conv/BN param shapes don't depend on image
+    # size or batch, and flax init executes a full forward, so this makes
+    # the init program ~100x smaller than initing at train resolution.
+    sample = jnp.zeros((1, 64, 64, 3), jnp.bfloat16)
     variables = jax.jit(partial(model.init, train=True))(rng, sample)
     if args.resume:
         restored = load_weights(args.resume)

@@ -46,7 +46,8 @@ def main(argv=None):
     model = U2Net(variant=args.variant, dtype=jnp.bfloat16)
 
     rng = jax.random.PRNGKey(args.seed)
-    x0 = jnp.zeros((args.batch_size, args.height, args.width, 3), jnp.bfloat16)
+    # batch 1: param shapes are batch-independent; keeps init small.
+    x0 = jnp.zeros((1, args.height, args.width, 3), jnp.bfloat16)
     variables = jax.jit(lambda r, x_: model.init(r, x_, train=True))(rng, x0)
     tx = optax.chain(
         optax.clip_by_global_norm(5.0),
