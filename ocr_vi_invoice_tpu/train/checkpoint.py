@@ -58,6 +58,16 @@ class CheckpointManager:
                        {"epoch": epoch, "best_metric": float(best_metric),
                         **(extra or {})})
 
+    def save_step(self, epoch: int, step: int, params, batch_stats,
+                  extra: Optional[Dict[str, Any]] = None):
+        """Mid-epoch safety checkpoint (single rolling `last_step` dir).
+
+        For preemptible/flaky devices: a multi-hour epoch that dies at
+        step N-1 otherwise leaves nothing. Weights-only, like --resume.
+        """
+        self._save("last_step", params, batch_stats,
+                   {"epoch": epoch, "step": step, **(extra or {})})
+
     def load(self, name: str = "best_model") -> Dict[str, Any]:
         return load_weights(self.save_dir / name)
 

@@ -92,6 +92,9 @@ def main(argv=None):
                     help="debug: cap steps per epoch")
     ap.add_argument("--log_every", type=int, default=100,
                     help="print step progress every N steps (0=off)")
+    ap.add_argument("--save_every_steps", type=int, default=0,
+                    help="mid-epoch rolling 'last_step' checkpoint every N "
+                         "steps (0=off); for preemptible/flaky devices")
     args = ap.parse_args(argv)
 
     mesh = make_mesh()
@@ -164,6 +167,10 @@ def main(argv=None):
                 print(f"  step {steps}/{steps_per_epoch} | "
                       f"loss {total_loss / steps:.4f} | {rate:.2f} it/s",
                       flush=True)
+            if args.save_every_steps and steps % args.save_every_steps == 0:
+                ckpt.save_step(epoch, steps, state.params, state.batch_stats,
+                               {"dcn_mode": args.dcn_mode,
+                                "dcn": not args.no_dcn})
             if args.max_steps_per_epoch and steps >= args.max_steps_per_epoch:
                 break
         train_loss = total_loss / max(steps, 1)

@@ -96,6 +96,9 @@ def main(argv=None):
     ap.add_argument("--max_steps_per_epoch", type=int, default=0)
     ap.add_argument("--log_every", type=int, default=100,
                     help="print step progress every N steps (0=off)")
+    ap.add_argument("--save_every_steps", type=int, default=0,
+                    help="mid-epoch rolling 'last_step' checkpoint every N "
+                         "steps (0=off); for preemptible/flaky devices")
     args = ap.parse_args(argv)
 
     if args.augment and args.save_dir == "weights/rec2":
@@ -163,6 +166,9 @@ def main(argv=None):
                 print(f"  step {steps}/{steps_per_epoch} | "
                       f"loss {total_loss / steps:.4f} | {rate:.2f} it/s",
                       flush=True)
+            if args.save_every_steps and steps % args.save_every_steps == 0:
+                ckpt.save_step(epoch, steps, state.params, state.batch_stats,
+                               {"variant": args.variant})
             if args.max_steps_per_epoch and steps >= args.max_steps_per_epoch:
                 break
         train_loss = total_loss / max(steps, 1)
