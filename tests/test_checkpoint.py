@@ -42,6 +42,17 @@ def test_best_overwrite(tmp_path):
     assert m.load("best_model")["best_metric"] == 0.2
 
 
+def test_step_checkpoint_rolls(tmp_path):
+    m = CheckpointManager(tmp_path)
+    t = _tree()
+    m.save_step(0, 500, t["params"], t["bs"], {"dcn_mode": "local"})
+    m.save_step(0, 1000, t["params"], t["bs"], {"dcn_mode": "local"})
+    restored = m.load("last_step")
+    assert restored["step"] == 1000
+    assert restored["dcn_mode"] == "local"
+    assert not (tmp_path / "last_step_500").exists()  # single rolling dir
+
+
 def test_load_weights_function(tmp_path):
     m = CheckpointManager(tmp_path)
     t = _tree()
