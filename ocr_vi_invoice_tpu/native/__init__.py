@@ -56,6 +56,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.levenshtein_i32.argtypes = [i32p, c, i32p, c]
         lib.levenshtein_i32.restype = c
         lib.fill_polygon.argtypes = [f32p, c, c, c, u8p]
+        lib.fill_polygon_with_outline.argtypes = [f32p, c, c, c, u8p]
         lib.edt_sq.argtypes = [u8p, c, c, f32p]
         lib.polygon_area.argtypes = [f32p, c]
         lib.polygon_area.restype = ctypes.c_double
@@ -66,6 +67,15 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_float, ctypes.c_float, ctypes.c_float, c,
             f32p, f32p, f32p, f32p,
         ]
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        lib.find_contours.argtypes = [u8p, c, c, i32p, c, i32p, c]
+        lib.find_contours.restype = c
+        lib.approx_poly_dp.argtypes = [f32p, c, ctypes.c_float, f32p]
+        lib.approx_poly_dp.restype = c
+        lib.get_perspective_transform.argtypes = [f32p, f32p, f64p]
+        lib.get_perspective_transform.restype = c
+        lib.warp_perspective_u8.argtypes = [u8p, c, c, c, f64p, u8p, c, c]
+        lib.resize_bilinear_u8.argtypes = [u8p, c, c, c, u8p, c, c]
         _lib = lib
         return _lib
 
@@ -132,6 +142,128 @@ def edt(mask: np.ndarray) -> np.ndarray:
     import cv2
 
     return cv2.distanceTransform(mask, cv2.DIST_L2, cv2.DIST_MASK_PRECISE)
+
+
+def find_contours(mask: np.ndarray) -> list:
+    """Binary mask -> list of (N, 2) float32 (x, y) contours.
+
+    Suzuki-Abe border following with CHAIN_APPROX_SIMPLE-style run
+    compression — RETR_LIST semantics (outer + hole borders), matching
+    the reference's ``cv2.findContours`` call (`src/det/test.py:60`).
+    """
+    mask = np.ascontiguousarray((np.asarray(mask) > 0), dtype=np.uint8)
+    h, w = mask.shape
+    lib = _load()
+    if lib is not None:
+        pts_cap = max(h * w, 16)
+        pts = np.empty((pts_cap, 2), np.int32)
+        counts = np.empty(4096, np.int32)
+        n = int(lib.find_contours(mask, h, w, pts.reshape(-1), pts_cap,
+                                  counts, 4096))
+        out, off = [], 0
+        for i in range(n):
+            m = int(counts[i])
+            out.append(pts[off : off + m].astype(np.float32))
+            off += m
+        return out
+    import cv2
+
+    contours, _ = cv2.findContours(mask * 255, cv2.RETR_LIST,
+                                   cv2.CHAIN_APPROX_SIMPLE)
+    return [cnt.reshape(-1, 2).astype(np.float32) for cnt in contours]
+
+
+def approx_poly_dp(pts: np.ndarray, epsilon: float) -> np.ndarray:
+    """Douglas-Peucker simplification of a CLOSED polygon
+    (cv2.approxPolyDP(closed=True), `src/det/test.py:69-70`)."""
+    pts = np.ascontiguousarray(pts, np.float32).reshape(-1, 2)
+    lib = _load()
+    if lib is not None:
+        out = np.empty_like(pts)
+        m = int(lib.approx_poly_dp(pts.reshape(-1), len(pts),
+                                   np.float32(epsilon), out.reshape(-1)))
+        return out[:m]
+    import cv2
+
+    approx = cv2.approxPolyDP(pts.reshape(-1, 1, 2), epsilon, True)
+    return approx.reshape(-1, 2).astype(np.float32)
+
+
+def get_perspective_transform(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """3x3 homography mapping 4 src points to 4 dst points
+    (cv2.getPerspectiveTransform, `scanner.py:50`)."""
+    src = np.ascontiguousarray(src, np.float32).reshape(4, 2)
+    dst = np.ascontiguousarray(dst, np.float32).reshape(4, 2)
+    lib = _load()
+    if lib is not None:
+        M = np.empty(9, np.float64)
+        if lib.get_perspective_transform(src.reshape(-1), dst.reshape(-1), M):
+            return M.reshape(3, 3)
+        return np.eye(3)
+    import cv2
+
+    return cv2.getPerspectiveTransform(src, dst).astype(np.float64)
+
+
+def warp_perspective(img: np.ndarray, M: np.ndarray, out_wh) -> np.ndarray:
+    """Forward-homography perspective warp, bilinear, zero border
+    (cv2.warpPerspective, `scanner.py:51`). out_wh = (width, height)."""
+    ow, oh = int(out_wh[0]), int(out_wh[1])
+    img = np.ascontiguousarray(img)
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[:, :, None]
+    lib = _load()
+    if lib is not None and img.dtype == np.uint8:
+        h, w, c = img.shape
+        out = np.empty((oh, ow, c), np.uint8)
+        lib.warp_perspective_u8(img, h, w, c,
+                                np.ascontiguousarray(M, np.float64).reshape(-1),
+                                out, oh, ow)
+        return out[:, :, 0] if squeeze else out
+    import cv2
+
+    out = cv2.warpPerspective(img[:, :, 0] if squeeze else img,
+                              np.asarray(M, np.float64), (ow, oh))
+    return out
+
+
+def resize_bilinear(img: np.ndarray, out_wh) -> np.ndarray:
+    """Bilinear resize with cv2.resize INTER_LINEAR's half-pixel
+    convention. out_wh = (width, height)."""
+    ow, oh = int(out_wh[0]), int(out_wh[1])
+    img = np.ascontiguousarray(img)
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[:, :, None]
+    lib = _load()
+    if lib is not None and img.dtype == np.uint8:
+        h, w, c = img.shape
+        out = np.empty((oh, ow, c), np.uint8)
+        lib.resize_bilinear_u8(img, h, w, c, out, oh, ow)
+        return out[:, :, 0] if squeeze else out
+    import cv2
+
+    out = cv2.resize(img[:, :, 0] if squeeze else img, (ow, oh),
+                     interpolation=cv2.INTER_LINEAR)
+    return out
+
+
+def fill_poly(shape, pts: np.ndarray) -> np.ndarray:
+    """Rasterize one polygon into a uint8 mask (cv2.fillPoly semantics:
+    interior + boundary)."""
+    h, w = int(shape[0]), int(shape[1])
+    pts = np.ascontiguousarray(pts, np.float32).reshape(-1, 2)
+    lib = _load()
+    if lib is not None:
+        out = np.zeros((h, w), np.uint8)
+        lib.fill_polygon_with_outline(pts.reshape(-1), len(pts), h, w, out)
+        return out
+    import cv2
+
+    out = np.zeros((h, w), np.uint8)
+    cv2.fillPoly(out, [pts.astype(np.int32)], 1)
+    return out
 
 
 def det_gt_maps(

@@ -25,6 +25,26 @@ import jax
 import jax.numpy as jnp
 
 
+def inference_dcn_mode(mode: str) -> str:
+    """Pick the fastest semantically-equivalent DCN path for inference.
+
+    'local' and 'pallas' compute the identical bounded-offset shift
+    decomposition; 'local' is the plain-XLA formulation chosen for small
+    train-step programs, but at inference it loses badly to the Pallas
+    kernel (extra HBM round-trips per shift). Checkpoints trained with
+    'local' therefore serve through 'pallas' on TPU backends; elsewhere
+    (CPU tests) the recorded mode is kept. 'gather' has different
+    numerics at unbounded offsets, so it is never remapped.
+    """
+    if mode == "local":
+        try:
+            if jax.default_backend() == "tpu":
+                return "pallas"
+        except Exception:
+            pass
+    return mode
+
+
 def _bilinear_gather(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
     """Sample ``img`` (H, W, C) at fractional (ys, xs) of shape S... with
     zero padding outside. Returns (S..., C)."""

@@ -134,7 +134,7 @@ def _dcn_pallas_fwd(x, offset, mask, weight, padding, radius, tile_h):
     pad_lo = R + padding
     need_rows = Ho_pad + 2 * R + kh
     need_cols = Wo + 2 * R + kw
-    # pltpu.roll needs the rotated (sublane) dim 8-aligned
+    # keep the (sublane) column dim 8-aligned for clean VMEM tiling
     need_cols = -(-need_cols // 8) * 8
     xp = jnp.pad(x, ((0, 0),
                      (pad_lo, max(need_rows - pad_lo - H, 0)),
@@ -189,6 +189,12 @@ def deform_conv2d_pallas(x, offset, mask, weight, stride=1, padding=1,
 
 
 def _fwd(x, offset, mask, weight, stride, padding, radius, tile_h):
+    # Under jax.grad this rule runs INSTEAD of the primal above, so the
+    # stride guard must live here too — otherwise stride=2 would silently
+    # compute a stride-1 forward while _bwd differentiates the stride-N
+    # local formulation.
+    if stride != 1:
+        raise ValueError("deform_conv2d_pallas supports stride=1 only")
     out = _dcn_pallas_fwd(x, offset, mask, weight, padding, radius, tile_h)
     return out, (x, offset, mask, weight)
 

@@ -81,8 +81,12 @@ class OCRPipeline:
 
         def make_det(meta):
             # Honor the sampling path the checkpoint was trained with
-            # (train/det.py records dcn_mode in meta), unless overridden.
-            mode = dcn_mode or meta.get("dcn_mode", "gather")
+            # (train/det.py records dcn_mode in meta), unless overridden;
+            # 'local' upgrades to the equivalent-but-faster Pallas kernel
+            # on TPU backends.
+            from ocr_vi_invoice_tpu.ops.dcn import inference_dcn_mode
+
+            mode = inference_dcn_mode(dcn_mode or meta.get("dcn_mode", "gather"))
             return DBNetPP(dcn=meta.get("dcn", True), dcn_mode=mode,
                            dtype=self.dtype)
 

@@ -1,12 +1,16 @@
 """DB probability map -> polygon boxes (host postprocessing).
 
-Equivalent of `src/det/test.py:20-106` without pyclipper/shapely:
-contours via cv2, scoring via masked mean, polygon *unclip* (outward
-offset by ``area·ratio/length`` with round joins) computed in raster
-space — fill the polygon in a padded local window, threshold the exact
-Euclidean distance transform at the offset distance, and trace the
-expanded contour. The reference's Vatti offset with JT_ROUND produces
-the same region by definition (Minkowski sum with a disc).
+Equivalent of `src/det/test.py:20-106` with zero OpenCV/pyclipper/shapely
+on the default path: contour tracing (Suzuki-Abe), Douglas-Peucker
+simplification, polygon fill, and the exact Euclidean distance transform
+all come from the first-party C++ module (``native/src/native_ops.cpp``),
+with cv2 demoted to a fallback inside ``native`` when the shared library
+cannot be built. The polygon *unclip* (outward offset by
+``area*ratio/length`` with round joins) is computed in raster space —
+fill the polygon in a padded local window, threshold the exact EDT at
+the offset distance, and trace the expanded contour. The reference's
+Vatti offset with JT_ROUND produces the same region by definition
+(Minkowski sum with a disc).
 
 An on-device (jit) box-extraction path lives in ``ops/cc.py`` for the
 fused pipeline; this module is the exact-parity host reference.
@@ -16,7 +20,6 @@ from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
-import cv2
 import numpy as np
 
 from ocr_vi_invoice_tpu import native
@@ -33,10 +36,12 @@ def box_score_fast(bitmap: np.ndarray, box: np.ndarray) -> float:
     xmax = np.clip(np.ceil(box[:, 0].max()).astype(int), 0, w - 1)
     ymin = np.clip(np.floor(box[:, 1].min()).astype(int), 0, h - 1)
     ymax = np.clip(np.ceil(box[:, 1].max()).astype(int), 0, h - 1)
-    mask = np.zeros((ymax - ymin + 1, xmax - xmin + 1), np.uint8)
     box[:, 0] -= xmin
     box[:, 1] -= ymin
-    cv2.fillPoly(mask, [box.reshape(-1, 2).astype(np.int32)], 1)
+    mask = native.fill_poly(
+        (ymax - ymin + 1, xmax - xmin + 1),
+        box.astype(np.int32).astype(np.float32),  # truncate like cv2.fillPoly int cast
+    )
     region = bitmap[ymin : ymax + 1, xmin : xmax + 1]
     denom = mask.sum()
     return float((region * mask).sum() / denom) if denom > 0 else 0.0
@@ -56,18 +61,16 @@ def unclip(box: np.ndarray, unclip_ratio: float = 1.5) -> Optional[np.ndarray]:
     w, h = x1 - x0 + 1, y1 - y0 + 1
     local = box.astype(np.float32) - [x0, y0]
 
-    mask = np.zeros((h, w), np.uint8)
-    cv2.fillPoly(mask, [local.astype(np.int32)], 1)
+    mask = native.fill_poly((h, w), local.astype(np.int32).astype(np.float32))
     if mask.sum() == 0:
         return None
-    dist_out = cv2.distanceTransform(1 - mask, cv2.DIST_L2, cv2.DIST_MASK_PRECISE)
+    dist_out = native.edt(1 - mask)
     expanded = ((mask > 0) | (dist_out <= d)).astype(np.uint8)
-    contours, _ = cv2.findContours(expanded, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+    contours = native.find_contours(expanded)
     if not contours:
         return None
-    cnt = max(contours, key=cv2.contourArea)
-    pts = cnt.reshape(-1, 2).astype(np.float32) + [x0, y0]
-    return pts
+    cnt = max(contours, key=native.polygon_area)
+    return cnt.astype(np.float32) + [x0, y0]
 
 
 class DBPostProcessor:
@@ -99,23 +102,20 @@ class DBPostProcessor:
         if pred.ndim == 3:
             pred = pred[0] if pred.shape[0] == 1 else pred[..., 0]
         segmentation = (pred > self.thresh).astype(np.uint8)
-        contours, _ = cv2.findContours(
-            segmentation * 255, cv2.RETR_LIST, cv2.CHAIN_APPROX_SIMPLE
-        )
+        contours = native.find_contours(segmentation)
         boxes: List[np.ndarray] = []
         scores: List[float] = []
         for i, contour in enumerate(contours):
             if i >= self.max_candidates:
                 break
-            epsilon = 0.002 * cv2.arcLength(contour, True)
-            approx = cv2.approxPolyDP(contour, epsilon, True)
-            points = approx.reshape(-1, 2).astype(np.float32)
+            epsilon = 0.002 * native.polygon_perimeter(contour)
+            points = native.approx_poly_dp(contour, epsilon)
             if points.shape[0] < 4:
                 continue
             score = box_score_fast(pred, points)
             if score < self.box_thresh:
                 continue
-            if cv2.contourArea(points) < self.min_area:
+            if native.polygon_area(points) < self.min_area:
                 continue
             expanded = unclip(points, self.unclip_ratio)
             if expanded is None or len(expanded) < 4:
@@ -128,7 +128,10 @@ class DBPostProcessor:
 def crop_image(img: np.ndarray, box: np.ndarray) -> np.ndarray:
     """Axis-aligned crop of the box's bounding rect (`test.py:123-130`)."""
     h, w = img.shape[:2]
-    x, y, bw, bh = cv2.boundingRect(box.astype(np.int32))
+    pts = box.astype(np.int64)  # truncation, matching cv2.boundingRect on int-cast boxes
+    x, y = int(pts[:, 0].min()), int(pts[:, 1].min())
+    bw = int(pts[:, 0].max()) - x + 1
+    bh = int(pts[:, 1].max()) - y + 1
     x, y = max(0, x), max(0, y)
     bw, bh = min(bw, w - x), min(bh, h - y)
     return img[y : y + bh, x : x + bw]
@@ -144,5 +147,5 @@ def resize_image_for_det(
     nh = int(round(h * scale / 32) * 32)
     nw = int(round(w * scale / 32) * 32)
     nh, nw = max(nh, 32), max(nw, 32)
-    resized = cv2.resize(image, (nw, nh))
+    resized = native.resize_bilinear(image, (nw, nh))
     return resized, (nh / h, nw / w)

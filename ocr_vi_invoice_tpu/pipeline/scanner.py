@@ -47,8 +47,12 @@ def four_point_transform(image: np.ndarray, pts: np.ndarray) -> np.ndarray:
     if mw < 2 or mh < 2:
         return image
     dst = np.array([[0, 0], [mw - 1, 0], [mw - 1, mh - 1], [0, mh - 1]], np.float32)
-    M = cv2.getPerspectiveTransform(rect, dst)
-    return cv2.warpPerspective(image, M, (mw, mh))
+    # First-party homography + warp (native_ops.cpp); cv2 only as fallback
+    # inside native when the shared library is unavailable.
+    from ocr_vi_invoice_tpu import native
+
+    M = native.get_perspective_transform(rect, dst)
+    return native.warp_perspective(image, M, (mw, mh))
 
 
 def enhance_document(image_rgb: np.ndarray) -> np.ndarray:

@@ -108,14 +108,19 @@ def main(argv=None):
             key, jnp.zeros((1, args.det_size, args.det_size, 3), jnp.bfloat16)
         ),
     )
-    rec_vars, _ = load_or_zeros(
+    rec_vars, rec_meta = load_or_zeros(
         args.rec_ckpt,
         lambda: SVTRv2(variant=args.rec_variant, dtype=jnp.bfloat16).init(
             key, jnp.zeros((1, 32, 256, 3), jnp.bfloat16)
         ),
     )
-    fused = FusedOCR(det_vars, rec_vars, cfg, rec_variant=args.rec_variant,
-                     dcn_mode=det_meta.get("dcn_mode", "gather"))
+    from ocr_vi_invoice_tpu.ops.dcn import inference_dcn_mode
+
+    fused = FusedOCR(
+        det_vars, rec_vars, cfg,
+        rec_variant=rec_meta.get("variant", args.rec_variant),
+        dcn_mode=inference_dcn_mode(det_meta.get("dcn_mode", "gather")),
+    )
 
     paths = sorted(
         p for p in Path(args.input_dir).iterdir()

@@ -34,15 +34,25 @@ class CheckpointManager:
         self._ckptr = ocp.StandardCheckpointer()
 
     def _save(self, name: str, params, batch_stats, meta: Dict[str, Any]):
-        path = self.save_dir / name
-        if path.exists():
-            shutil.rmtree(path)
+        # Crash-safe: build the full checkpoint (arrays + meta.json) under a
+        # temp name, then swap it in. A kill at any point leaves at least one
+        # complete checkpoint on disk — either the old `name` (before the
+        # swap) or the finished `name.tmp` (which load_weights falls back
+        # to). Writing meta.json before the swap also closes the window
+        # where a checkpoint existed without its dcn_mode/variant metadata.
+        final = self.save_dir / name
+        tmp = self.save_dir / (name + ".tmp")
+        if tmp.exists():
+            shutil.rmtree(tmp)
         self._ckptr.save(
-            path, _to_host({"params": params, "batch_stats": batch_stats})
+            tmp, _to_host({"params": params, "batch_stats": batch_stats})
         )
         self._ckptr.wait_until_finished()
-        with open(path / "meta.json", "w") as f:
+        with open(tmp / "meta.json", "w") as f:
             json.dump(meta, f)
+        if final.exists():
+            shutil.rmtree(final)
+        tmp.rename(final)
 
     def save_best(self, epoch: int, params, batch_stats, best_metric: float,
                   extra: Optional[Dict[str, Any]] = None):
@@ -73,8 +83,14 @@ class CheckpointManager:
 
 
 def load_weights(path: str | Path) -> Dict[str, Any]:
-    """Load {params, batch_stats, **meta} from a checkpoint dir."""
+    """Load {params, batch_stats, **meta} from a checkpoint dir.
+
+    Falls back to ``<path>.tmp`` — a save that completed but was killed
+    before the atomic swap in ``CheckpointManager._save``.
+    """
     path = Path(path).absolute()
+    if not path.exists() and path.with_name(path.name + ".tmp").exists():
+        path = path.with_name(path.name + ".tmp")
     ckptr = ocp.StandardCheckpointer()
     restored = dict(ckptr.restore(path))
     meta_path = path / "meta.json"

@@ -33,17 +33,22 @@ def evaluate(model, state, dataset, batch_size, mesh, eval_step):
     sums: dict = {}
     n = 0
     for batch in iterate(dataset, batch_size, shuffle=False):
-        if batch["image"].shape[0] != batch_size:
-            pad = batch_size - batch["image"].shape[0]
+        real = batch["image"].shape[0]
+        if real != batch_size:
+            pad = batch_size - real
             batch = {
                 k: np.concatenate([v, np.zeros((pad, *v.shape[1:]), v.dtype)])
                 for k, v in batch.items()
             }
         metrics = eval_step(state, shard_batch(mesh, batch))
         metrics = {k: float(v) for k, v in metrics.items()}
+        # Padded samples carry mask=0 so they add nothing to the pixel
+        # counts or the (globally-normalized) loss; weight each batch by
+        # its REAL sample count so the final partial batch doesn't get the
+        # same vote as a full one.
         for k, v in metrics.items():
-            sums[k] = sums.get(k, 0.0) + v
-        n += 1
+            sums[k] = sums.get(k, 0.0) + v * real
+        n += real
     return {k: v / max(n, 1) for k, v in sums.items()}
 
 

@@ -36,8 +36,11 @@ def evaluate(state, dataset, batch_size, mesh, eval_step, tokenizer):
                 for k, v in batch.items()
             }
         out = eval_step(state, shard_batch(mesh, batch))
-        total_loss += float(out["loss"])
-        n += 1
+        # Average over REAL samples only: a zero-padded sample's CTC loss
+        # (empty target -> all-blank likelihood) is not zero and would
+        # bias the reported loss on the final partial batch.
+        total_loss += float(np.asarray(out["loss_per_sample"])[:real].sum())
+        n += real
         ids = np.asarray(out["pred_ids"])[:real]
         preds.extend(tokenizer.decode_ctc_greedy(ids))
         gts.extend(texts)

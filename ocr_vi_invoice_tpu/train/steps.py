@@ -163,6 +163,8 @@ def make_rec_eval_step(model) -> Callable:
     """Eval: CTC-only loss + greedy argmax ids (decode to strings on host)."""
 
     def step(state: TrainState, batch):
+        from ocr_vi_invoice_tpu.ops.ctc import ctc_neg_log_likelihood
+
         log_probs = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch["image"], train=False,
@@ -171,7 +173,23 @@ def make_rec_eval_step(model) -> Callable:
             log_probs, batch["target"], None,
             batch.get("input_length"), batch.get("target_length"),
         )
+        # Per-sample losses too, so the host eval loop can exclude the
+        # zero-padded tail of the final partial batch from the average
+        # (a padded sample's empty-target CTC loss is NOT zero).
+        B, T, _ = log_probs.shape
+        in_len = batch.get("input_length")
+        if in_len is None:
+            in_len = jnp.full((B,), T, dtype=jnp.int32)
+        tgt_len = batch.get("target_length")
+        if tgt_len is None:
+            from ocr_vi_invoice_tpu.data.tokenizer import PAD_ID
+
+            tgt_len = (batch["target"] != PAD_ID).sum(axis=1).astype(jnp.int32)
+        nll = ctc_neg_log_likelihood(log_probs, batch["target"], in_len, tgt_len)
+        per_sample = nll / jnp.maximum(tgt_len, 1)
+        per_sample = jnp.where(jnp.isfinite(per_sample), per_sample, 0.0)
         ids = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
-        return {"loss": loss, "pred_ids": ids}
+        return {"loss": loss, "loss_per_sample": per_sample,
+                "pred_ids": ids}
 
     return step

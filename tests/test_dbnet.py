@@ -7,6 +7,9 @@ from ocr_vi_invoice_tpu.losses.db_loss import balanced_bce_loss, db_loss
 from ocr_vi_invoice_tpu.models.dbnet import DBNetPP
 from ocr_vi_invoice_tpu.models.resnet import ResNet
 
+
+pytestmark = pytest.mark.slow
+
 # Golden counts: neck/head measured on the reference modules
 # (model/det/neck.py, head.py); backbone computed from torchvision
 # resnet50 (25,557,032 incl. fc) minus fc (2,049,000) plus the DCN

@@ -1,10 +1,14 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ocr_vi_invoice_tpu.pipeline.fused import FusedOCR
 from ocr_vi_invoice_tpu.utils.config import PipelineConfig, PostProcessConfig
 
+
+
+pytestmark = pytest.mark.slow
 
 def _zeros(model, *args):
     shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), *args))

@@ -15,6 +15,9 @@ from ocr_vi_invoice_tpu.train.checkpoint import CheckpointManager
 from ocr_vi_invoice_tpu.utils.config import PipelineConfig
 
 
+
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def tiny_ckpts(tmp_path_factory):
     from ocr_vi_invoice_tpu.models.dbnet import DBNetPP

@@ -108,3 +108,41 @@ def test_fused_vs_host_postproc_on_synthetic():
     drects = sorted(map(tuple, dboxes))
     for hr, dr in zip(hrects, drects):
         assert np.abs(np.asarray(hr) - np.asarray(dr)).max() < 4.0
+
+
+def test_run_based_extraction_equals_pixel_cc_oracle():
+    """The run-length extract_boxes must agree EXACTLY (bbox, count, score)
+    with the per-pixel connected_components oracle, including U-shapes
+    (labels must flow down one arm and up the other) and diagonal-only
+    connectivity."""
+    rng = np.random.RandomState(0)
+    for _ in range(4):
+        H, W = 120, 160
+        prob = np.zeros((H, W), np.float32)
+        for _ in range(rng.randint(3, 12)):
+            y, x = rng.randint(0, H - 30), rng.randint(0, W - 40)
+            h, w = rng.randint(2, 25), rng.randint(2, 35)
+            prob[y:y + h, x:x + w] = rng.uniform(0.65, 0.95)
+        y, x = rng.randint(0, H - 40), rng.randint(0, W - 40)
+        prob[y:y + 30, x:x + 4] = 0.9          # U-shape left arm
+        prob[y:y + 30, x + 26:x + 30] = 0.9    # right arm
+        prob[y + 28:y + 30, x:x + 30] = 0.9    # bottom join
+        for i in range(10):
+            prob[5 + i, 100 + i] = 0.8         # diagonal chain
+
+        boxes, scores, valid = map(np.asarray, extract_boxes(
+            jnp.asarray(prob), 0.3, 0.0, 0.0, 0.0, max_boxes=64))
+        got = sorted(
+            (round(b[0]), round(b[1]), round(b[2]), round(b[3]), round(s, 4))
+            for b, s in zip(boxes[valid], scores[valid])
+        )
+
+        mask = prob > 0.3
+        lab = np.asarray(connected_components(jnp.asarray(mask), num_iters=32))
+        want = []
+        for v in np.unique(lab[mask]):
+            ys, xs = np.where(lab == v)
+            want.append((xs.min(), ys.min(), xs.max(), ys.max(),
+                         round(float(prob[ys, xs].mean()), 4)))
+        want = sorted(tuple(map(lambda t: round(float(t), 4), o)) for o in want)
+        assert got == want

@@ -14,6 +14,9 @@ import ocr_vi_invoice_tpu.ops.pallas.dcn_kernel as DK
 from ocr_vi_invoice_tpu.ops.dcn import deform_conv2d
 
 
+
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(autouse=True)
 def interpret_mode(monkeypatch):
     orig = pl.pallas_call

@@ -8,6 +8,9 @@ from ocr_vi_invoice_tpu.losses.rec_loss import svtrv2_loss
 from ocr_vi_invoice_tpu.models.svtrv2 import SVTRv2, VARIANTS
 from ocr_vi_invoice_tpu.ops.ctc import greedy_ids
 
+
+pytestmark = pytest.mark.slow
+
 # Golden parameter counts measured on the reference implementation
 # (/root/reference/model/rec2/svtrv2.py) — exact parity required.
 GOLDEN = {

@@ -13,9 +13,11 @@ import numpy as np
 import pytest
 
 REF = "/root/reference"
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF), reason="reference checkout not available"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not os.path.isdir(REF),
+                       reason="reference checkout not available"),
+]
 torch = pytest.importorskip("torch")
 
 

@@ -7,6 +7,9 @@ import numpy as np
 import pytest
 
 
+
+pytestmark = pytest.mark.slow
+
 @pytest.fixture
 def det_data(tmp_path):
     for split in ("train", "val"):

@@ -1,9 +1,13 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ocr_vi_invoice_tpu.models.u2net import U2Net, u2net_bce_loss
 
+
+
+pytestmark = pytest.mark.slow
 
 def _count(tree):
     return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(tree))
