@@ -144,8 +144,12 @@ class RecAugment:
     def __init__(self, seed: Optional[int] = None):
         self.rng = np.random.RandomState(seed)
 
-    def __call__(self, img: np.ndarray) -> np.ndarray:
-        rng = self.rng
+    def __call__(self, img: np.ndarray,
+                 rng: Optional[np.random.RandomState] = None) -> np.ndarray:
+        # An explicit rng makes augmentation a pure function of
+        # (seed, epoch, idx) — loader threads then can't reorder draws,
+        # so runs are bit-reproducible regardless of device count.
+        rng = rng if rng is not None else self.rng
         h, w = img.shape[:2]
 
         # Geometric (p=0.5): affine or perspective, white border fill.
@@ -239,9 +243,11 @@ class DetAugment:
         self.rotate_limit = rotate_limit
 
     def __call__(
-        self, img: np.ndarray, polygons: List[np.ndarray]
+        self, img: np.ndarray, polygons: List[np.ndarray],
+        rng: Optional[np.random.RandomState] = None,
     ) -> Tuple[np.ndarray, List[np.ndarray]]:
-        rng = self.rng
+        # See RecAugment.__call__: explicit rng => reproducible runs.
+        rng = rng if rng is not None else self.rng
         h, w = img.shape[:2]
 
         if rng.rand() < 0.5:

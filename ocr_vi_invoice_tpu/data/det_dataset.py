@@ -47,6 +47,13 @@ class DetectionDataset:
         self.thresh_max = thresh_max
         self.samples = sorted(self.data_dir.glob("*.json"))
         self.augment = DetAugment(seed=seed) if is_training else None
+        self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Vary deterministic per-sample augmentation across epochs
+        (called by ``data.loader.iterate``)."""
+        self._epoch = int(epoch)
 
     def __len__(self) -> int:
         return len(self.samples)
@@ -91,7 +98,12 @@ class DetectionDataset:
                 polygons.append(poly)
 
         if self.is_training and polygons and self.augment is not None:
-            image, polygons = self.augment(image, polygons)
+            # Deterministic in (seed, epoch, idx): identical batches and
+            # augmentations regardless of loader threading or device count.
+            rng = np.random.RandomState(
+                (self.seed * 9_973 + self._epoch * 1_000_003 + idx) % (2**31)
+            )
+            image, polygons = self.augment(image, polygons, rng=rng)
             polygons = [p for p in polygons if len(p) >= 3]
 
         h, w = image.shape[:2]

@@ -39,6 +39,8 @@ def iterate(
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yield batches as dicts of stacked numpy arrays."""
     n = len(dataset)
+    if hasattr(dataset, "set_epoch"):
+        dataset.set_epoch(epoch)  # deterministic per-epoch augmentation
     order = np.arange(n)
     if shuffle:
         np.random.RandomState(seed + epoch).shuffle(order)

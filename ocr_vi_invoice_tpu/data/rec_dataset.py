@@ -91,6 +91,13 @@ class RecognitionDataset:
         self.tokenizer = Tokenizer()
         self.max_label_len = max_label_len
         self.transform = RecAugment(seed=seed) if augment else None
+        self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Vary deterministic per-sample augmentation across epochs
+        (called by ``data.loader.iterate``)."""
+        self._epoch = int(epoch)
 
     def __len__(self):
         return len(self.samples)
@@ -124,7 +131,11 @@ class RecognitionDataset:
             image = np.full((*self.img_size, 3), 255, np.uint8)
 
         if self.transform is not None:
-            image = self.transform(image)
+            # Deterministic in (seed, epoch, idx) — see det_dataset._load.
+            rng = np.random.RandomState(
+                (self.seed * 9_973 + self._epoch * 1_000_003 + idx) % (2**31)
+            )
+            image = self.transform(image, rng=rng)
 
         target = self.tokenizer.encode([text], max_len=self.max_label_len)[0]
         tlen = min(int(self.tokenizer.lengths([text])[0]), self.max_label_len)

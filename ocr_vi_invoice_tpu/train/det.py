@@ -100,9 +100,12 @@ def main(argv=None):
     ap.add_argument("--save_every_steps", type=int, default=0,
                     help="mid-epoch rolling 'last_step' checkpoint every N "
                          "steps (0=off); for preemptible/flaky devices")
+    ap.add_argument("--n_devices", type=int, default=0,
+                    help="mesh over the first N devices (0 = all); used by "
+                         "the multi-vs-single-device equivalence test")
     args = ap.parse_args(argv)
 
-    mesh = make_mesh()
+    mesh = make_mesh(jax.devices()[: args.n_devices] if args.n_devices else None)
     print(f"Devices: {jax.devices()}; mesh {dict(mesh.shape)}")
 
     train_ds = DetectionDataset(args.train_dir, args.image_size, is_training=True)
