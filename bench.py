@@ -94,18 +94,24 @@ def _bench_input():
         return rng.uniform(0, 255, (DET_SIZE, DET_SIZE, 3)).astype(np.float32)
 
 
-def _timed(fn, *args, n_lo=2, n_hi=12):
+def _timed(fn, *args, n_lo=2, n_hi=12, repeats=3):
+    """Median of repeated long-minus-short loop timings: single pairs can
+    go negative under relay RPC jitter (seen as det_960_ms: 0.0 in r01)."""
     import jax.numpy as jnp
 
     float(fn(*args, jnp.int32(n_lo)))  # compile + warm
     float(fn(*args, jnp.int32(n_hi)))
-    t0 = time.time()
-    float(fn(*args, jnp.int32(n_lo)))
-    t_lo = time.time() - t0
-    t0 = time.time()
-    float(fn(*args, jnp.int32(n_hi)))
-    t_hi = time.time() - t0
-    return max(t_hi - t_lo, 1e-9) / (n_hi - n_lo)
+    diffs = []
+    for _ in range(repeats):
+        t0 = time.time()
+        float(fn(*args, jnp.int32(n_lo)))
+        t_lo = time.time() - t0
+        t0 = time.time()
+        float(fn(*args, jnp.int32(n_hi)))
+        t_hi = time.time() - t0
+        diffs.append(max(t_hi - t_lo, 1e-9) / (n_hi - n_lo))
+    diffs.sort()
+    return diffs[len(diffs) // 2]
 
 
 def _arm_watchdog(seconds: int = 1500) -> None:

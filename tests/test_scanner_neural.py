@@ -1,0 +1,76 @@
+"""Neural document-scan path with the SHIPPED u2netp checkpoint.
+
+Reference behavior: `src/preprocess/scanner.py:78-136` — rembg U-2-Net
+mask -> largest 4-pt contour -> perspective rectification. Here the mask
+comes from our own trained flax U-2-Net; this test proves the shipped
+checkpoint actually drives the neural path (round-1 gap: the weights
+were missing, so every scan silently fell back to Canny).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CKPT = os.path.join(REPO, "weights/u2netp/best_model")
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not os.path.isdir(CKPT),
+                       reason="scanner checkpoint not shipped"),
+]
+
+
+def _composite(rng):
+    """A skewed white document on a dark background, like scan_data."""
+    import cv2
+
+    bg = np.full((500, 400, 3), 40, np.uint8)
+    bg += rng.randint(0, 30, bg.shape).astype(np.uint8)
+    doc_corners = np.array(
+        [[80, 60], [330, 90], [310, 430], [60, 400]], np.int32
+    )
+    cv2.fillPoly(bg, [doc_corners], (235, 235, 230))
+    cv2.putText(bg, "HOA DON", (120, 200), cv2.FONT_HERSHEY_SIMPLEX, 1,
+                (30, 30, 30), 2)
+    return bg, doc_corners
+
+
+def test_u2net_mask_finds_document():
+    from ocr_vi_invoice_tpu.pipeline.scanner import _u2net_mask
+
+    rng = np.random.RandomState(0)
+    img, corners = _composite(rng)
+    mask = _u2net_mask(img, CKPT)
+    assert mask is not None, "neural path unavailable despite checkpoint"
+    # Mask must cover the document and not the background.
+    import cv2
+
+    doc = np.zeros(mask.shape, np.uint8)
+    cv2.fillPoly(doc, [corners], 1)
+    inside = (mask > 0)[doc > 0].mean()
+    outside = (mask > 0)[doc == 0].mean()
+    assert inside > 0.8, f"document coverage {inside:.2f}"
+    assert outside < 0.2, f"background leakage {outside:.2f}"
+
+
+def test_preprocess_image_rectifies_via_neural_path(monkeypatch):
+    from ocr_vi_invoice_tpu.pipeline import scanner as sc
+
+    rng = np.random.RandomState(1)
+    img, corners = _composite(rng)
+
+    # Fail loudly if the classical fallback is taken: the point of this
+    # test is that the NEURAL path drives the scan.
+    def _no_fallback(image_rgb):
+        raise AssertionError("classical fallback used despite checkpoint")
+
+    monkeypatch.setattr(sc, "_classical_mask", _no_fallback)
+    monkeypatch.setenv("OVI_U2NET_WEIGHTS", CKPT)
+    out = sc.preprocess_image(img)
+    assert out is not None
+    # Rectified output: roughly the document's aspect, mostly paper-bright.
+    h, w = out.shape[:2]
+    assert 0.5 < h / w < 2.5
+    assert out.mean() > 150, "output not document-like"
