@@ -23,6 +23,8 @@ from ocr_vi_invoice_tpu.data.tokenizer import Tokenizer
 
 _MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 _STD = np.array([0.229, 0.224, 0.225], np.float32)
+_NORM_LUT = (np.arange(256, dtype=np.float32)[None, :] / 255.0
+             - _MEAN[:, None]) / _STD[:, None]  # (3, 256)
 
 
 def load_vietocr_samples(
@@ -116,6 +118,13 @@ class RecognitionDataset:
                     image, 0, 0, 0, tw - image.shape[1], cv2.BORDER_CONSTANT,
                     value=(255, 255, 255),
                 )
+        if image.dtype == np.uint8:
+            # fused uint8 -> normalized float via per-channel LUT (the
+            # broadcast arithmetic costs ~0.5 ms/sample on this host)
+            out = np.empty(image.shape, np.float32)
+            for c in range(3):
+                out[..., c] = _NORM_LUT[c][image[..., c]]
+            return out
         img = image.astype(np.float32) / 255.0
         return (img - _MEAN) / _STD
 

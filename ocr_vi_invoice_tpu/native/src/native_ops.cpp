@@ -189,9 +189,18 @@ void det_gt_maps(const float* polys, const int* counts, int num_polys,
   std::fill(thresh_map, thresh_map + N, 0.0f);
   std::fill(thresh_mask, thresh_mask + N, 0.0f);
 
-  std::vector<uint8_t> poly_mask(N);
-  std::vector<float> dist_in(N), dist_out(N);
-  std::vector<uint8_t> inv(N);
+  // All per-polygon work runs in a padded bounding-box window: every
+  // pixel this polygon can touch (its interior, its outline, and the
+  // dilation band of radius d) lies within bbox ⊕ (d + 2), and for those
+  // pixels the window-restricted EDT equals the full-image EDT (the
+  // nearest boundary/region pixel is itself inside the window). Identical
+  // output to the former full-image formulation at a fraction of the
+  // cost — the old code ran 2 full-image EDTs per polygon, ~390 ms per
+  // 20-polygon training image; windows are typically 100-500x smaller.
+  std::vector<uint8_t> poly_mask;
+  std::vector<float> dist_in, dist_out;
+  std::vector<uint8_t> inv;
+  std::vector<float> cp;
 
   const float* p = polys;
   for (int i = 0; i < num_polys; ++i) {
@@ -199,7 +208,7 @@ void det_gt_maps(const float* polys, const int* counts, int num_polys,
     if (n < 3) { p += 2 * n; continue; }
 
     // Clip vertices to image bounds (reference does the same).
-    std::vector<float> cp(2 * n);
+    cp.resize(2 * n);
     for (int k = 0; k < n; ++k) {
       cp[2 * k] = std::min(std::max(p[2 * k], 0.0f), (float)(w - 1));
       cp[2 * k + 1] = std::min(std::max(p[2 * k + 1], 0.0f), (float)(h - 1));
@@ -208,51 +217,87 @@ void det_gt_maps(const float* polys, const int* counts, int num_polys,
 
     double area = poly_area(cp.data(), n);
     double per = poly_perimeter(cp.data(), n);
-    std::fill(poly_mask.begin(), poly_mask.end(), 0);
-    fill_polygon(cp.data(), n, h, w, poly_mask.data());
+    double d = (area < 1.0 || per < 1.0)
+                   ? 0.0
+                   : area * (1.0 - (double)shrink_ratio * shrink_ratio) / per;
+
+    // Padded window.
+    float xmin = cp[0], xmax = cp[0], ymin = cp[1], ymax = cp[1];
+    for (int k = 1; k < n; ++k) {
+      xmin = std::min(xmin, cp[2 * k]);
+      xmax = std::max(xmax, cp[2 * k]);
+      ymin = std::min(ymin, cp[2 * k + 1]);
+      ymax = std::max(ymax, cp[2 * k + 1]);
+    }
+    int pad = (int)std::ceil(d) + 2;
+    int x0 = std::max((int)std::floor(xmin) - pad, 0);
+    int y0 = std::max((int)std::floor(ymin) - pad, 0);
+    int x1 = std::min((int)std::ceil(xmax) + pad + 1, w);
+    int y1 = std::min((int)std::ceil(ymax) + pad + 1, h);
+    int wh = y1 - y0, ww = x1 - x0;
+    if (wh <= 0 || ww <= 0) continue;
+    size_t WN = (size_t)wh * ww;
+
+    // Shift vertices into window coords and rasterize there.
+    for (int k = 0; k < n; ++k) {
+      cp[2 * k] -= (float)x0;
+      cp[2 * k + 1] -= (float)y0;
+    }
+    poly_mask.assign(WN, 0);
+    fill_polygon(cp.data(), n, wh, ww, poly_mask.data());
+
+    auto zero_mask_region = [&]() {
+      draw_polygon_outline(cp.data(), n, wh, ww, poly_mask.data());
+      for (int y = 0; y < wh; ++y)
+        for (int x = 0; x < ww; ++x)
+          if (poly_mask[(size_t)y * ww + x])
+            mask[(size_t)(y + y0) * w + (x + x0)] = 0.0f;
+    };
 
     if (area < 1.0 || per < 1.0) {
       // Invalid polygon: ignore region (incl. its outline) in loss.
-      draw_polygon_outline(cp.data(), n, h, w, poly_mask.data());
-      for (size_t k = 0; k < N; ++k)
-        if (poly_mask[k]) mask[k] = 0.0f;
+      zero_mask_region();
       continue;
     }
 
-    double d = area * (1.0 - (double)shrink_ratio * shrink_ratio) / per;
-
     // Distance to the region boundary, both sides.
-    edt_sq(poly_mask.data(), h, w, dist_in.data());
-    for (size_t k = 0; k < N; ++k) inv[k] = poly_mask[k] ? 0 : 1;
-    edt_sq(inv.data(), h, w, dist_out.data());
+    dist_in.resize(WN);
+    dist_out.resize(WN);
+    inv.resize(WN);
+    edt_sq(poly_mask.data(), wh, ww, dist_in.data());
+    for (size_t k = 0; k < WN; ++k) inv[k] = poly_mask[k] ? 0 : 1;
+    edt_sq(inv.data(), wh, ww, dist_out.data());
 
     // --- probability map: inward offset by d (erosion) ---
     double d2 = d * d;
     bool any_shrunk = false;
-    for (size_t k = 0; k < N; ++k) {
-      if (poly_mask[k] && dist_in[k] >= d2) {
-        gt[k] = 1.0f;
-        any_shrunk = true;
+    for (int y = 0; y < wh; ++y)
+      for (int x = 0; x < ww; ++x) {
+        size_t k = (size_t)y * ww + x;
+        if (poly_mask[k] && dist_in[k] >= d2) {
+          gt[(size_t)(y + y0) * w + (x + x0)] = 1.0f;
+          any_shrunk = true;
+        }
       }
-    }
     if (!any_shrunk) {
       // Shrink annihilated the polygon -> exclude region from loss.
-      draw_polygon_outline(cp.data(), n, h, w, poly_mask.data());
-      for (size_t k = 0; k < N; ++k)
-        if (poly_mask[k]) mask[k] = 0.0f;
+      zero_mask_region();
     }
 
     // --- threshold map: border band = dilation by d ---
     if (is_training && d >= 1.0) {
-      for (size_t k = 0; k < N; ++k) {
-        bool in_band = poly_mask[k] || dist_out[k] <= d2;
-        if (!in_band) continue;
-        thresh_mask[k] = 1.0f;
-        float dist = std::sqrt(std::min(dist_in[k], dist_out[k]));
-        float nd = std::min(dist / (float)d, 1.0f);
-        float tv = thresh_max - nd * (thresh_max - thresh_min);
-        if (tv > thresh_map[k]) thresh_map[k] = tv;
-      }
+      for (int y = 0; y < wh; ++y)
+        for (int x = 0; x < ww; ++x) {
+          size_t k = (size_t)y * ww + x;
+          bool in_band = poly_mask[k] || dist_out[k] <= d2;
+          if (!in_band) continue;
+          size_t g = (size_t)(y + y0) * w + (x + x0);
+          thresh_mask[g] = 1.0f;
+          float dist = std::sqrt(std::min(dist_in[k], dist_out[k]));
+          float nd = std::min(dist / (float)d, 1.0f);
+          float tv = thresh_max - nd * (thresh_max - thresh_min);
+          if (tv > thresh_map[g]) thresh_map[g] = tv;
+        }
     }
   }
 }

@@ -28,13 +28,16 @@ import jax.numpy as jnp
 def inference_dcn_mode(mode: str) -> str:
     """Pick the fastest semantically-equivalent DCN path for inference.
 
-    'local' and 'pallas' compute the identical bounded-offset shift
-    decomposition; 'local' is the plain-XLA formulation chosen for small
-    train-step programs, but at inference it loses badly to the Pallas
-    kernel (extra HBM round-trips per shift). Checkpoints trained with
-    'local' therefore serve through 'pallas' on TPU backends; elsewhere
-    (CPU tests) the recorded mode is kept. 'gather' has different
-    numerics at unbounded offsets, so it is never remapped.
+    'local' and 'pallas' compute the same bounded-offset shift
+    decomposition (equal up to conv precision: 'local' moves data through
+    conv_general_dilated_patches, which XLA runs at bf16 input precision
+    on TPU, while the Pallas kernel slices in VMEM — so 'pallas' is both
+    faster and slightly *more* precise); 'local' is the plain-XLA
+    fallback, but at inference it loses badly to the Pallas kernel
+    (extra HBM round-trips per shift). Checkpoints trained with 'local'
+    therefore serve through 'pallas' on TPU backends; elsewhere (CPU
+    tests) the recorded mode is kept. 'gather' has different numerics at
+    unbounded offsets, so it is never remapped.
     """
     if mode == "local":
         try:

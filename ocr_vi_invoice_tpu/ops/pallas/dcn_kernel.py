@@ -27,8 +27,24 @@ the model wiring falls back to the clipped-offset gather path for the
 three stride-2 DCN layers (same bounded-offset semantics — bilinear
 interpolation of a clipped offset IS the hat decomposition).
 
-Forward only; the custom VJP routes the backward through the XLA
-formulation (same math, autodiff'd).
+The backward is three more Pallas kernels (round 2; the round-1 VJP
+routed through the XLA shift-decomposition, whose transposed program was
+~8x the forward — 3.5 s of a 4 s det train step at 960²):
+
+  * `_dcn_bwd_param_kernel` walks OUTPUT row tiles and produces
+    d(offset) and d(mask): it contracts the incoming gradient with the
+    kernel once per tile (g @ Wᵀ on the MXU), so the per-(tap,cell) work
+    is one VPU multiply-reduce guarded by the same sparsity tests as the
+    forward.
+  * `_dcn_sampled_kernel` re-emits the forward's hat-weighted sampled
+    tensor so dW is one XLA matmul sampledᵀ @ g — an in-kernel f32
+    (K·Cin, Cout) accumulator block is 9.4 MB at Cin=512 and cannot share
+    scoped VMEM with the weight and the gs scratch.
+  * `_dcn_bwd_input_kernel` walks INPUT (padded) row tiles and produces
+    dX as a pure gather: for each combined shift s the contributing
+    output rows are a static slice of a zero-extended gradient block, so
+    the transpose needs no scatter anywhere — the same property that
+    makes the forward TPU-shaped.
 """
 
 from __future__ import annotations
@@ -39,6 +55,15 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# The backward kernels' resident blocks + scratch top the default 16 MB
+# scoped-VMEM budget at the 960² c3 stage; v5e VMEM is larger than the
+# compiler's conservative default, so raise the per-kernel cap (Mosaic
+# carries the limit with the kernel, so no global XLA flag is needed —
+# and the client-side parser of this environment rejects TPU-only
+# entries in XLA_FLAGS anyway).
+_BWD_COMPILER_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=64 * 1024 * 1024)
 
 
 def _dcn_kernel(x_ref, dy_ref, dx_ref, mask_ref, w_ref, out_ref, acc_ref, *,
@@ -199,7 +224,352 @@ def _fwd(x, offset, mask, weight, stride, padding, radius, tile_h):
     return out, (x, offset, mask, weight)
 
 
+def _dcn_bwd_param_kernel(x_ref, g_ref, dy_ref, dx_ref, mask_ref, w_ref,
+                          ddy_ref, ddx_ref, dm_ref,
+                          gs_ref, sdy_ref, sdx_ref, sdm_ref, *,
+                          R: int, K: int, kh: int, kw: int,
+                          tile_h: int, Wo: int, Cin: int, Cout: int):
+    # x_ref: (1, Hp, Wp, Cin) padded input, VMEM-resident across row tiles
+    # g_ref: (1, tile_h, Wo, Cout) upstream gradient for this tile
+    # dy/dx/mask: (1, tile_h, Wo, K) raw offsets (clip happens here) + mask
+    # outputs: ddy/ddx/dm (1, tile_h, Wo, K). dW is NOT computed here: the
+    #   f32 (K*Cin, Cout) accumulator block is 9.4 MB at Cin=512 and blows
+    #   scoped VMEM next to the weight + gs — see `_dcn_sampled` + the XLA
+    #   contraction in `_dcn_pallas_bwd_impl`.
+    # scratch: gs (tile_h, Wo, K*Cin) f32; sdy/sdx/sdm (tile_h, Wo, K) f32
+    i = pl.program_id(1)
+    row_base = i * tile_h
+
+    dy_raw = dy_ref[0].astype(jnp.float32)
+    dx_raw = dx_ref[0].astype(jnp.float32)
+    dy = jnp.clip(dy_raw, -R, R)
+    dx = jnp.clip(dx_raw, -R, R)
+    m = mask_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)                       # (tile_h, Wo, Cout)
+
+    Sy = kh + 2 * R + 1
+    Sx = kw + 2 * R + 1
+
+    # gs[p, t*Cin+c] = sum_o g[p, o] * W[t*Cin+c, o]  — one MXU contraction.
+    gs_ref[...] = jax.lax.dot_general(
+        g.reshape(tile_h * Wo, Cout),
+        w_ref[:].astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(tile_h, Wo, K * Cin)
+
+    sdy_ref[...] = jnp.zeros((tile_h, Wo, K), jnp.float32)
+    sdx_ref[...] = jnp.zeros((tile_h, Wo, K), jnp.float32)
+    sdm_ref[...] = jnp.zeros((tile_h, Wo, K), jnp.float32)
+
+    def sy_body(sy, _):
+        rows = x_ref[0, pl.ds(row_base + sy, tile_h), :, :].astype(jnp.float32)
+        syf = sy.astype(jnp.float32)
+        for sx in range(Sx):
+            # hat weights + their derivatives for every tap at this cell;
+            # the (tap, cell) support test mirrors the forward: a tap only
+            # touches the <=4 cells bracketing its offset. The guard here
+            # must NOT include the modulation mask — d(mask) needs the
+            # unmodulated product.
+            for t in range(K):
+                ti, tj = t // kw, t % kw
+                uy = dy[..., t] - (syf - R - ti)
+                ux = dx[..., t] - (sx - R - tj)
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(uy))
+                wx = jnp.maximum(0.0, 1.0 - jnp.abs(ux))
+                hit = jnp.max(wy) * jnp.max(wx)
+
+                @pl.when(hit > 0.0)
+                def _(t=t, wy=wy, wx=wx, uy=uy, ux=ux, sx=sx):
+                    xs = rows[:, sx:sx + Wo, :]
+                    gst = gs_ref[:, :, t * Cin:(t + 1) * Cin]
+                    dot = jnp.sum(xs * gst, axis=-1)       # (tile_h, Wo)
+                    # hat'(u) = -sign(u) on the open support, 0 outside
+                    wyp = jnp.where(wy > 0.0, -jnp.sign(uy), 0.0)
+                    wxp = jnp.where(wx > 0.0, -jnp.sign(ux), 0.0)
+                    mt = m[..., t]
+                    sdm_ref[:, :, t] += wy * wx * dot
+                    sdy_ref[:, :, t] += wyp * wx * mt * dot
+                    sdx_ref[:, :, t] += wy * wxp * mt * dot
+        return 0
+
+    jax.lax.fori_loop(0, Sy, sy_body, 0)
+
+    # clip passes gradient only inside the bound
+    ddy_ref[0] = (sdy_ref[...]
+                  * (jnp.abs(dy_raw) <= R).astype(jnp.float32)
+                  ).astype(ddy_ref.dtype)
+    ddx_ref[0] = (sdx_ref[...]
+                  * (jnp.abs(dx_raw) <= R).astype(jnp.float32)
+                  ).astype(ddx_ref.dtype)
+    dm_ref[0] = sdm_ref[...].astype(dm_ref.dtype)
+
+
+def _dcn_sampled_kernel(x_ref, dy_ref, dx_ref, mask_ref, out_ref, acc_ref, *,
+                        R: int, K: int, kh: int, kw: int,
+                        tile_h: int, Wo: int, Cin: int):
+    # The forward kernel minus the weight contraction: emits the
+    # hat-weighted sampled tensor (tile_h, Wo, K*Cin) so dW can be one
+    # XLA matmul sampledᵀ @ g outside the kernel (the in-kernel f32 dW
+    # block does not fit next to the weight at Cin=512).
+    i = pl.program_id(1)
+    row_base = i * tile_h
+
+    dy = jnp.clip(dy_ref[0].astype(jnp.float32), -R, R)
+    dx = jnp.clip(dx_ref[0].astype(jnp.float32), -R, R)
+    m = mask_ref[0].astype(jnp.float32)
+
+    Sy = kh + 2 * R + 1
+    Sx = kw + 2 * R + 1
+
+    acc_ref[...] = jnp.zeros((tile_h, Wo, K * Cin), jnp.float32)
+
+    def sy_body(sy, _):
+        rows = x_ref[0, pl.ds(row_base + sy, tile_h), :, :].astype(jnp.float32)
+        syf = sy.astype(jnp.float32)
+        for sx in range(Sx):
+            w2s = []
+            hits = []
+            for t in range(K):
+                ti, tj = t // kw, t % kw
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy[..., t] - (syf - R - ti)))
+                wx = jnp.maximum(0.0, 1.0 - jnp.abs(dx[..., t] - (sx - R - tj)))
+                w2s.append(wy * wx * m[..., t])
+                hits.append(jnp.max(w2s[-1]))
+            any_hit = functools.reduce(jnp.maximum, hits)
+
+            @pl.when(any_hit > 0.0)
+            def _(sx=sx, w2s=w2s, hits=hits):
+                xs = rows[:, sx:sx + Wo, :]
+                for t in range(K):
+                    @pl.when(hits[t] > 0.0)
+                    def _(t=t, xs=xs, w2s=w2s):
+                        sl = slice(t * Cin, (t + 1) * Cin)
+                        acc_ref[:, :, sl] += w2s[t][..., None] * xs
+        return 0
+
+    jax.lax.fori_loop(0, Sy, sy_body, 0)
+    out_ref[0] = acc_ref[...].astype(out_ref.dtype)
+
+
+def _dcn_bwd_input_kernel(g_ref, dy_ref, dx_ref, mask_ref, w_ref,
+                          dxp_ref, accx_ref, gs_ref, *,
+                          R: int, K: int, kh: int, kw: int, G0: int,
+                          tile_h: int, Wo: int, Wp: int, Cin: int, Cout: int):
+    # Input-space transpose: padded-input row r receives, for each combined
+    # shift s = (sy, sx), the hat-weighted gradient of output row r - sy at
+    # columns shifted by sx. g/dy/dx/mask are zero-extended by G0 rows on
+    # top so `r - sy` is always a legal static-size slice (rows that fall
+    # outside the real output carry g == 0 and thus contribute nothing).
+    # g_ref:   (1, Hg, Wo, Cout) zero-extended gradient, VMEM-resident
+    # dy/dx/mask: (1, Hg, Wo, K) zero-extended likewise
+    # dxp_ref: (1, tile_h, Wp, Cin) gradient wrt the PADDED input rows
+    # scratch: accx (tile_h, Wp, Cin) f32; gs (tile_h, Wo, K*Cin) f32
+    i = pl.program_id(1)
+    row_base = i * tile_h
+
+    Sy = kh + 2 * R + 1
+    Sx = kw + 2 * R + 1
+
+    accx_ref[...] = jnp.zeros((tile_h, Wp, Cin), jnp.float32)
+
+    def sy_body(sy, _):
+        # padded row r = row_base + r' samples from output row r - sy,
+        # which lives at zero-extended row r - sy + G0.
+        start = row_base - sy + G0
+        g = g_ref[0, pl.ds(start, tile_h), :, :].astype(jnp.float32)
+        dy = jnp.clip(dy_ref[0, pl.ds(start, tile_h), :, :]
+                      .astype(jnp.float32), -R, R)
+        dx = jnp.clip(dx_ref[0, pl.ds(start, tile_h), :, :]
+                      .astype(jnp.float32), -R, R)
+        m = mask_ref[0, pl.ds(start, tile_h), :, :].astype(jnp.float32)
+
+        gs_ref[...] = jax.lax.dot_general(
+            g.reshape(tile_h * Wo, Cout),
+            w_ref[:].astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(tile_h, Wo, K * Cin)
+
+        syf = sy.astype(jnp.float32)
+        for sx in range(Sx):
+            for t in range(K):
+                ti, tj = t // kw, t % kw
+                wy = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(dy[..., t] - (syf - R - ti)))
+                wx = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(dx[..., t] - (sx - R - tj)))
+                w2 = wy * wx * m[..., t]
+                hit = jnp.max(w2)
+
+                @pl.when(hit > 0.0)
+                def _(t=t, w2=w2, sx=sx):
+                    accx_ref[:, sx:sx + Wo, :] += (
+                        w2[..., None] * gs_ref[:, :, t * Cin:(t + 1) * Cin])
+        return 0
+
+    jax.lax.fori_loop(0, Sy, sy_body, 0)
+    dxp_ref[0] = accx_ref[...].astype(dxp_ref.dtype)
+
+
+def _dcn_pallas_bwd_impl(x, offset, mask, weight, g, padding, radius, tile_h):
+    B, H, W, Cin = x.shape
+    kh, kw, _, Cout = weight.shape
+    K = kh * kw
+    Ho, Wo = offset.shape[1], offset.shape[2]
+    R = radius
+    Sy = kh + 2 * R + 1
+
+    # The param kernel carries two (tile, Wo, K*Cin) f32 scratches plus the
+    # f32 dW block (9.4 MB at Cin=512); at the forward's tile of 8 the c5
+    # layer's scoped VMEM tops 16 MB. Half the tile keeps every layer
+    # comfortably under the limit at negligible grid overhead.
+    tile_p = min(tile_h, 4)
+    n_tiles = -(-Ho // tile_p)
+    Ho_pad = n_tiles * tile_p
+
+    # Same padded-input geometry as the forward.
+    pad_lo = R + padding
+    need_rows = Ho_pad + 2 * R + kh
+    need_cols = Wo + 2 * R + kw
+    need_cols = -(-need_cols // 8) * 8
+    xp = jnp.pad(x, ((0, 0),
+                     (pad_lo, max(need_rows - pad_lo - H, 0)),
+                     (pad_lo, max(need_cols - pad_lo - W, 0)),
+                     (0, 0)))
+    Hp, Wp = xp.shape[1], xp.shape[2]
+
+    if Ho_pad != Ho:
+        offset = jnp.pad(offset, ((0, 0), (0, Ho_pad - Ho), (0, 0), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, Ho_pad - Ho), (0, 0), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, Ho_pad - Ho), (0, 0), (0, 0)))
+    dy = offset[..., 0::2]
+    dx = offset[..., 1::2]
+    w2d = weight.reshape(K * Cin, Cout)
+
+    # ---- kernel 1: d(offset), d(mask) over output row tiles ----
+    kernel1 = functools.partial(
+        _dcn_bwd_param_kernel, R=R, K=K, kh=kh, kw=kw,
+        tile_h=tile_p, Wo=Wo, Cin=Cin, Cout=Cout,
+    )
+    tile_spec = pl.BlockSpec((1, tile_p, Wo, K), lambda b, i: (b, i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    ddy, ddx, dm = pl.pallas_call(
+        kernel1,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, Hp, Wp, Cin), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_p, Wo, Cout), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            tile_spec, tile_spec, tile_spec,
+            pl.BlockSpec((K * Cin, Cout), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[tile_spec, tile_spec, tile_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Ho_pad, Wo, K), offset.dtype),
+            jax.ShapeDtypeStruct((B, Ho_pad, Wo, K), offset.dtype),
+            jax.ShapeDtypeStruct((B, Ho_pad, Wo, K), mask.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_p, Wo, K * Cin), jnp.float32),
+            pltpu.VMEM((tile_p, Wo, K), jnp.float32),
+            pltpu.VMEM((tile_p, Wo, K), jnp.float32),
+            pltpu.VMEM((tile_p, Wo, K), jnp.float32),
+        ],
+        compiler_params=_BWD_COMPILER_PARAMS,
+    )(xp, g, dy, dx, mask, w2d)
+
+    # ---- kernel 3 + XLA matmul: dW = sampledᵀ @ g ----
+    kernel3 = functools.partial(
+        _dcn_sampled_kernel, R=R, K=K, kh=kh, kw=kw,
+        tile_h=tile_p, Wo=Wo, Cin=Cin,
+    )
+    sampled = pl.pallas_call(
+        kernel3,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, Hp, Wp, Cin), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            tile_spec, tile_spec, tile_spec,
+        ],
+        out_specs=pl.BlockSpec((1, tile_p, Wo, K * Cin),
+                               lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Ho_pad, Wo, K * Cin), x.dtype),
+        scratch_shapes=[pltpu.VMEM((tile_p, Wo, K * Cin), jnp.float32)],
+        compiler_params=_BWD_COMPILER_PARAMS,
+    )(xp, dy, dx, mask)
+    dw = jax.lax.dot_general(
+        sampled.reshape(B * Ho_pad * Wo, K * Cin),
+        g.reshape(B * Ho_pad * Wo, Cout).astype(sampled.dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    # ---- kernel 2: dX over padded-input row tiles ----
+    n_in_tiles = -(-Hp // tile_h)
+    Hp_pad = n_in_tiles * tile_h
+    # zero-extend outputs so row (r - sy + G0) is always sliceable:
+    # top needs G0 = Sy; bottom needs Hp_pad - 1 - 0 + ... ≤ Hg - tile_h.
+    G0 = Sy
+    Hg = Ho_pad + G0 + max(Hp_pad + tile_h - Ho_pad, 0)
+    zx = ((0, 0), (G0, Hg - G0 - Ho_pad), (0, 0), (0, 0))
+    gz = jnp.pad(g, zx)
+    dyz = jnp.pad(dy, zx)
+    dxz = jnp.pad(dx, zx)
+    mz = jnp.pad(mask, zx)
+
+    kernel2 = functools.partial(
+        _dcn_bwd_input_kernel, R=R, K=K, kh=kh, kw=kw, G0=G0,
+        tile_h=tile_h, Wo=Wo, Wp=Wp, Cin=Cin, Cout=Cout,
+    )
+    res_spec = lambda ch: pl.BlockSpec((1, Hg, Wo, ch),
+                                       lambda b, i: (b, 0, 0, 0),
+                                       memory_space=pltpu.VMEM)
+    dxp = pl.pallas_call(
+        kernel2,
+        grid=(B, n_in_tiles),
+        in_specs=[
+            res_spec(Cout), res_spec(K), res_spec(K), res_spec(K),
+            pl.BlockSpec((K * Cin, Cout), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h, Wp, Cin),
+                               lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Hp_pad, Wp, Cin), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h, Wp, Cin), jnp.float32),
+            pltpu.VMEM((tile_h, Wo, K * Cin), jnp.float32),
+        ],
+        compiler_params=_BWD_COMPILER_PARAMS,
+    )(gz, dyz, dxz, mz, w2d)
+
+    dx_out = dxp[:, pad_lo:pad_lo + H, pad_lo:pad_lo + W, :]
+
+    ddy = ddy[:, :Ho]
+    ddx = ddx[:, :Ho]
+    dm = dm[:, :Ho]
+    # interleave back into torchvision channel order (2t: Δy, 2t+1: Δx)
+    doffset = jnp.stack([ddy, ddx], axis=-1).reshape(B, Ho, Wo, 2 * K)
+    return (dx_out, doffset.astype(jnp.float32), dm, dw)
+
+
 def _bwd(stride, padding, radius, tile_h, res, g):
+    x, offset, mask, weight = res
+    dx_out, doffset, dm, dw = _dcn_pallas_bwd_impl(
+        x, offset, mask, weight, g, padding, radius, tile_h)
+    kh, kw, Cin, Cout = weight.shape
+    return (dx_out.astype(x.dtype),
+            doffset.astype(offset.dtype),
+            dm.astype(mask.dtype),
+            dw.reshape(kh, kw, Cin, Cout).astype(weight.dtype))
+
+
+def _bwd_xla(stride, padding, radius, tile_h, res, g):
+    """Round-1 fallback: transpose of the XLA shift-decomposition."""
     from ocr_vi_invoice_tpu.ops.dcn import deform_conv2d_local
 
     x, offset, mask, weight = res

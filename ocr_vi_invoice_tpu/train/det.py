@@ -199,7 +199,10 @@ def main(argv=None):
             "val_iou": f"{val['iou']:.4f}", "val_dice": f"{val['dice']:.4f}",
         })
 
-        if val["f1"] > best_f1:
+        # epoch 0 always ships a best_model: an all-zero first val (F1
+        # 0.0) otherwise leaves the final test-eval restore with no
+        # checkpoint to load.
+        if val["f1"] > best_f1 or epoch == 0:
             best_f1 = val["f1"]
             ckpt.save_best(epoch, state.params, state.batch_stats, best_f1,
                            {"val_metrics": {k: float(v) for k, v in val.items()},

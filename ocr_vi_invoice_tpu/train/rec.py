@@ -191,7 +191,8 @@ def main(argv=None):
             "val_accuracy": f"{val['accuracy']:.4f}",
         })
 
-        if val["accuracy"] > best_acc:
+        # epoch 0 always ships a best_model (see train/det.py)
+        if val["accuracy"] > best_acc or epoch == 0:
             best_acc = val["accuracy"]
             ckpt.save_best(epoch, state.params, state.batch_stats, best_acc,
                            {"variant": args.variant})

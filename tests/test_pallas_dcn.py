@@ -78,3 +78,58 @@ def test_backward_via_xla_path():
     for g, r in zip(grads, refs):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=1e-3, atol=1e-3)
+
+
+# --------------------------------------------------------------------------- #
+# Backward kernels (round 2)
+# --------------------------------------------------------------------------- #
+
+
+def test_backward_matches_gather_autodiff():
+    """The two Pallas backward kernels vs autodiff of the exact gather.
+
+    Oracle choice matters: `deform_conv2d_local` routes data movement
+    through conv_general_dilated_patches, which XLA runs at bf16 input
+    precision (on TPU by design, and on this CPU stack's TPU-emulating
+    config) — ~4e-3 relative noise. The gather path is precise f32, and
+    for |offset| < radius the two are the same function, so the gather's
+    autodiff is the right reference. Small radius keeps interpret-mode
+    runtime sane.
+    """
+    rng = np.random.RandomState(0)
+    B, H, W, Cin, Cout, R = 1, 6, 8, 4, 8, 1
+    x = jnp.asarray(rng.randn(B, H, W, Cin), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, Cin, Cout), jnp.float32)
+    off = jnp.clip(
+        jnp.asarray(rng.randn(B, H, W, 18) * 0.8, jnp.float32), -0.9, 0.9)
+    m = jnp.asarray(rng.rand(B, H, W, 9), jnp.float32)
+    g = jnp.asarray(rng.randn(B, H, W, Cout), jnp.float32)
+
+    def f_pallas(x, o, mm, ww):
+        return jnp.sum(DK.deform_conv2d_pallas(x, o, mm, ww, 1, 1, R, 2) * g)
+
+    def f_gather(x, o, mm, ww):
+        return jnp.sum(deform_conv2d(x, o, mm, ww, stride=1, padding=1) * g)
+
+    gp = jax.grad(f_pallas, argnums=(0, 1, 2, 3))(x, off, m, w)
+    gg = jax.grad(f_gather, argnums=(0, 1, 2, 3))(x, off, m, w)
+    for name, a, b in zip(["dx", "doffset", "dmask", "dweight"], gp, gg):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4,
+            err_msg=name)
+
+
+def test_backward_clip_boundary_zero_grad():
+    """Offsets beyond the radius get zero gradient (clip semantics)."""
+    rng = np.random.RandomState(1)
+    B, H, W, Cin, Cout, R = 1, 4, 8, 2, 4, 1
+    x = jnp.asarray(rng.randn(B, H, W, Cin), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, Cin, Cout), jnp.float32)
+    off = jnp.full((B, H, W, 18), 1.7, jnp.float32)   # all beyond R=1
+    m = jnp.asarray(rng.rand(B, H, W, 9), jnp.float32)
+
+    def f(o):
+        return jnp.sum(DK.deform_conv2d_pallas(x, o, m, w, 1, 1, R, 2))
+
+    doff = jax.grad(f)(off)
+    np.testing.assert_array_equal(np.asarray(doff), 0.0)
