@@ -81,18 +81,23 @@ class DeformableConv2d(nn.Module):
                 x, offset, mask, weight.astype(self.dtype),
                 self.strides, self.padding, self.radius,
             )
-        elif self.mode == "pallas" and self.dilation == 1:
+        elif self.mode == "pallas" and self.dilation == 1 and self.strides == 2:
             # Stride-2 DCN layers (first bottleneck of each stage): Mosaic
-            # can't express strided window slices, so keep the gather path
-            # but clip offsets to the radius — bilinear sampling of a
-            # clipped offset is exactly the bounded-offset (local/pallas)
-            # semantics, so the whole 'pallas' model is one consistent
-            # function of the parameters.
-            out = deform_conv2d(
-                x, jnp.clip(offset, -self.radius, self.radius), mask,
-                weight.astype(self.dtype),
-                stride=self.strides, padding=self.padding,
-                dilation=self.dilation,
+            # can't express strided window slices, so the FORWARD keeps the
+            # gather path with offsets clipped to the radius — bilinear
+            # sampling of a clipped offset is exactly the bounded-offset
+            # (local/pallas) semantics, so the whole 'pallas' model is one
+            # consistent function of the parameters. The BACKWARD routes
+            # through the stride-1 Pallas kernels on the 2x-upsampled
+            # offset grid (dcn_kernel.deform_conv2d_s2_pallas) — the
+            # gather's transpose scatters cost ~1 s/layer/step at 960².
+            from ocr_vi_invoice_tpu.ops.pallas.dcn_kernel import (
+                deform_conv2d_s2_pallas,
+            )
+
+            out = deform_conv2d_s2_pallas(
+                x, offset, mask, weight.astype(self.dtype),
+                self.padding, self.radius,
             )
         elif self.mode == "local" and self.dilation == 1:
             out = deform_conv2d_local(

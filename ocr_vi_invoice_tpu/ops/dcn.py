@@ -213,13 +213,17 @@ def deform_conv2d_local(
     architecture choice for from-scratch TPU training. Use
     ``deform_conv2d`` for exact torchvision semantics.
 
-    Status: for INFERENCE the VMEM-resident Pallas fusion of this
-    recurrence (`ops/pallas/dcn_kernel.py`) is the fast path (beats the
-    gather ~10% at 960²); as plain XLA the forward loses to the gather
-    (the per-shift intermediates round-trip through HBM). For TRAINING
-    this formulation is the right one: the gather's backward scatters
-    are ~3x slower than the shift-decomposition's slice-adds, so
-    `train/det.py` defaults to mode='local'.
+    Status: the VMEM-resident Pallas fusion of this recurrence
+    (`ops/pallas/dcn_kernel.py`) is the fast path for BOTH inference
+    (beats the gather ~10% at 960²) and, since round 2, training (its
+    own backward kernels; `train/det.py` defaults to mode='pallas').
+    As plain XLA this formulation loses to the gather in the forward
+    (per-shift intermediates round-trip through HBM) and its transposed
+    program is ~8x the forward — it remains as the portable non-TPU
+    reference and the semantic oracle for kernel tests. Note it moves
+    data through conv_general_dilated_patches, which XLA runs at bf16
+    conv input precision on TPU-like backends (~4e-3 relative noise vs
+    the exact gather); the Pallas kernels do not.
 
     Only stride 1/2 with 3x3 kernels (the DBNet use case) are exercised.
     """

@@ -23,9 +23,10 @@ Offsets are clamped to ``radius`` exactly like deform_conv2d_local
 
 Only stride 1 is expressible as static window slices (Mosaic rejects
 strided vector slices); ``deform_conv2d_pallas`` requires stride=1 and
-the model wiring falls back to the clipped-offset gather path for the
-three stride-2 DCN layers (same bounded-offset semantics — bilinear
-interpolation of a clipped offset IS the hat decomposition).
+the three stride-2 DCN layers keep the clipped-offset gather FORWARD
+(same bounded-offset semantics — bilinear interpolation of a clipped
+offset IS the hat decomposition) while their backward reuses the
+stride-1 kernels on the 2x-upsampled grid (`deform_conv2d_s2_pallas`).
 
 The backward is three more Pallas kernels (round 2; the round-1 VJP
 routed through the XLA shift-decomposition, whose transposed program was
@@ -56,14 +57,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# The backward kernels' resident blocks + scratch top the default 16 MB
+# The kernels' resident blocks + scratch top the default 16 MB
 # scoped-VMEM budget at the 960² c3 stage; v5e VMEM is larger than the
 # compiler's conservative default, so raise the per-kernel cap (Mosaic
 # carries the limit with the kernel, so no global XLA flag is needed —
 # and the client-side parser of this environment rejects TPU-only
 # entries in XLA_FLAGS anyway).
-_BWD_COMPILER_PARAMS = pltpu.CompilerParams(
-    vmem_limit_bytes=64 * 1024 * 1024)
+_DCN_COMPILER_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=32 * 1024 * 1024)
+
+# Cap for any resident (grid-invariant) operand window in the backward
+# kernels; Pallas double-buffers these across the batch grid dim, so the
+# live cost is 2x. Rows are chunked to stay under this.
+_WINDOW_BYTES = 2 * 1024 * 1024
 
 
 def _dcn_kernel(x_ref, dy_ref, dx_ref, mask_ref, w_ref, out_ref, acc_ref, *,
@@ -199,6 +205,7 @@ def _dcn_pallas_fwd(x, offset, mask, weight, padding, radius, tile_h):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Ho_pad, Wo, Cout), x.dtype),
         scratch_shapes=[pltpu.VMEM((tile_h, Wo, K * Cin), jnp.float32)],
+        compiler_params=_DCN_COMPILER_PARAMS,
     )(xp, dy, dx, mask, weight.reshape(K * Cin, Cout))
     return out[:, :Ho]
 
@@ -447,74 +454,105 @@ def _dcn_pallas_bwd_impl(x, offset, mask, weight, g, padding, radius, tile_h):
     dx = offset[..., 1::2]
     w2d = weight.reshape(K * Cin, Cout)
 
-    # ---- kernel 1: d(offset), d(mask) over output row tiles ----
+    # Pallas double-buffers every resident window across the batch grid
+    # dim, so a window's true VMEM cost is 2x its size. Bound windows to
+    # _WINDOW_BYTES by chunking the grid's row range and slicing the
+    # resident operand per chunk (read-only overlap of Sy-1 margin rows;
+    # outputs concatenate disjointly). The stride-2 backward runs these
+    # kernels on the 2x-upsampled grid where a full-residency window hits
+    # 16 MB -> 31 MB live — past half the chip's 128 MB once scheduled
+    # next to the rest of the step.
+    itemsize = jnp.dtype(x.dtype).itemsize
+    xp_rows_max = _WINDOW_BYTES // max(Wp * Cin * itemsize, 1)
+    chunk_out = max(((xp_rows_max - (Sy - 1)) // tile_p) * tile_p, tile_p)
+    chunk_out = min(chunk_out, Ho_pad)
+
     kernel1 = functools.partial(
         _dcn_bwd_param_kernel, R=R, K=K, kh=kh, kw=kw,
         tile_h=tile_p, Wo=Wo, Cin=Cin, Cout=Cout,
     )
-    tile_spec = pl.BlockSpec((1, tile_p, Wo, K), lambda b, i: (b, i, 0, 0),
-                             memory_space=pltpu.VMEM)
-    ddy, ddx, dm = pl.pallas_call(
-        kernel1,
-        grid=(B, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, Hp, Wp, Cin), lambda b, i: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_p, Wo, Cout), lambda b, i: (b, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            tile_spec, tile_spec, tile_spec,
-            pl.BlockSpec((K * Cin, Cout), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[tile_spec, tile_spec, tile_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, Ho_pad, Wo, K), offset.dtype),
-            jax.ShapeDtypeStruct((B, Ho_pad, Wo, K), offset.dtype),
-            jax.ShapeDtypeStruct((B, Ho_pad, Wo, K), mask.dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((tile_p, Wo, K * Cin), jnp.float32),
-            pltpu.VMEM((tile_p, Wo, K), jnp.float32),
-            pltpu.VMEM((tile_p, Wo, K), jnp.float32),
-            pltpu.VMEM((tile_p, Wo, K), jnp.float32),
-        ],
-        compiler_params=_BWD_COMPILER_PARAMS,
-    )(xp, g, dy, dx, mask, w2d)
-
-    # ---- kernel 3 + XLA matmul: dW = sampledᵀ @ g ----
     kernel3 = functools.partial(
         _dcn_sampled_kernel, R=R, K=K, kh=kh, kw=kw,
         tile_h=tile_p, Wo=Wo, Cin=Cin,
     )
-    sampled = pl.pallas_call(
-        kernel3,
-        grid=(B, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, Hp, Wp, Cin), lambda b, i: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            tile_spec, tile_spec, tile_spec,
-        ],
-        out_specs=pl.BlockSpec((1, tile_p, Wo, K * Cin),
-                               lambda b, i: (b, i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Ho_pad, Wo, K * Cin), x.dtype),
-        scratch_shapes=[pltpu.VMEM((tile_p, Wo, K * Cin), jnp.float32)],
-        compiler_params=_BWD_COMPILER_PARAMS,
-    )(xp, dy, dx, mask)
-    dw = jax.lax.dot_general(
-        sampled.reshape(B * Ho_pad * Wo, K * Cin),
-        g.reshape(B * Ho_pad * Wo, Cout).astype(sampled.dtype),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    ddy_c, ddx_c, dm_c, dw = [], [], [], None
+    for c0 in range(0, Ho_pad, chunk_out):
+        c1 = min(c0 + chunk_out, Ho_pad)
+        rows = c1 - c0
+        nt = rows // tile_p
+        xp_c = xp[:, c0:c1 + Sy - 1]
+        g_c = g[:, c0:c1]
+        dy_c = dy[:, c0:c1]
+        dx_c = dx[:, c0:c1]
+        m_c = mask[:, c0:c1]
+        tile_spec = pl.BlockSpec((1, tile_p, Wo, K),
+                                 lambda b, i: (b, i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        ddy_i, ddx_i, dm_i = pl.pallas_call(
+            kernel1,
+            grid=(B, nt),
+            in_specs=[
+                pl.BlockSpec((1, xp_c.shape[1], Wp, Cin),
+                             lambda b, i: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_p, Wo, Cout), lambda b, i: (b, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                tile_spec, tile_spec, tile_spec,
+                pl.BlockSpec((K * Cin, Cout), lambda b, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[tile_spec, tile_spec, tile_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, rows, Wo, K), offset.dtype),
+                jax.ShapeDtypeStruct((B, rows, Wo, K), offset.dtype),
+                jax.ShapeDtypeStruct((B, rows, Wo, K), mask.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((tile_p, Wo, K * Cin), jnp.float32),
+                pltpu.VMEM((tile_p, Wo, K), jnp.float32),
+                pltpu.VMEM((tile_p, Wo, K), jnp.float32),
+                pltpu.VMEM((tile_p, Wo, K), jnp.float32),
+            ],
+            compiler_params=_DCN_COMPILER_PARAMS,
+        )(xp_c, g_c, dy_c, dx_c, m_c, w2d)
+        ddy_c.append(ddy_i)
+        ddx_c.append(ddx_i)
+        dm_c.append(dm_i)
+
+        sampled = pl.pallas_call(
+            kernel3,
+            grid=(B, nt),
+            in_specs=[
+                pl.BlockSpec((1, xp_c.shape[1], Wp, Cin),
+                             lambda b, i: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                tile_spec, tile_spec, tile_spec,
+            ],
+            out_specs=pl.BlockSpec((1, tile_p, Wo, K * Cin),
+                                   lambda b, i: (b, i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, rows, Wo, K * Cin), x.dtype),
+            scratch_shapes=[pltpu.VMEM((tile_p, Wo, K * Cin), jnp.float32)],
+            compiler_params=_DCN_COMPILER_PARAMS,
+        )(xp_c, dy_c, dx_c, m_c)
+        dw_i = jax.lax.dot_general(
+            sampled.reshape(B * rows * Wo, K * Cin),
+            g_c.reshape(B * rows * Wo, Cout).astype(sampled.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dw = dw_i if dw is None else dw + dw_i
+    ddy = jnp.concatenate(ddy_c, axis=1) if len(ddy_c) > 1 else ddy_c[0]
+    ddx = jnp.concatenate(ddx_c, axis=1) if len(ddx_c) > 1 else ddx_c[0]
+    dm = jnp.concatenate(dm_c, axis=1) if len(dm_c) > 1 else dm_c[0]
 
     # ---- kernel 2: dX over padded-input row tiles ----
-    n_in_tiles = -(-Hp // tile_h)
-    Hp_pad = n_in_tiles * tile_h
+    n_in_tiles = -(-Hp // tile_p)
+    Hp_pad = n_in_tiles * tile_p
     # zero-extend outputs so row (r - sy + G0) is always sliceable:
-    # top needs G0 = Sy; bottom needs Hp_pad - 1 - 0 + ... ≤ Hg - tile_h.
+    # top needs G0 = Sy; bottom needs Hp_pad - 1 - 0 + ... ≤ Hg - tile.
     G0 = Sy
-    Hg = Ho_pad + G0 + max(Hp_pad + tile_h - Ho_pad, 0)
+    Hg = Ho_pad + G0 + max(Hp_pad + tile_p - Ho_pad, 0)
     zx = ((0, 0), (G0, Hg - G0 - Ho_pad), (0, 0), (0, 0))
     gz = jnp.pad(g, zx)
     dyz = jnp.pad(dy, zx)
@@ -523,29 +561,47 @@ def _dcn_pallas_bwd_impl(x, offset, mask, weight, g, padding, radius, tile_h):
 
     kernel2 = functools.partial(
         _dcn_bwd_input_kernel, R=R, K=K, kh=kh, kw=kw, G0=G0,
-        tile_h=tile_h, Wo=Wo, Wp=Wp, Cin=Cin, Cout=Cout,
+        tile_h=tile_p, Wo=Wo, Wp=Wp, Cin=Cin, Cout=Cout,
     )
-    res_spec = lambda ch: pl.BlockSpec((1, Hg, Wo, ch),
-                                       lambda b, i: (b, 0, 0, 0),
-                                       memory_space=pltpu.VMEM)
-    dxp = pl.pallas_call(
-        kernel2,
-        grid=(B, n_in_tiles),
-        in_specs=[
-            res_spec(Cout), res_spec(K), res_spec(K), res_spec(K),
-            pl.BlockSpec((K * Cin, Cout), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, tile_h, Wp, Cin),
-                               lambda b, i: (b, i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Hp_pad, Wp, Cin), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((tile_h, Wp, Cin), jnp.float32),
-            pltpu.VMEM((tile_h, Wo, K * Cin), jnp.float32),
-        ],
-        compiler_params=_BWD_COMPILER_PARAMS,
-    )(gz, dyz, dxz, mz, w2d)
+    gz_itemsize = jnp.dtype(g.dtype).itemsize
+    gz_rows_max = _WINDOW_BYTES // max(Wo * Cout * gz_itemsize, 1)
+    chunk_in = max(((gz_rows_max - Sy) // tile_p) * tile_p, tile_p)
+    chunk_in = min(chunk_in, Hp_pad)
+    dxp_c = []
+    for r0 in range(0, Hp_pad, chunk_in):
+        r1 = min(r0 + chunk_in, Hp_pad)
+        rows = r1 - r0
+        nt = rows // tile_p
+        # chunk-local gz row j == global gz row r0 + j, so the kernel's
+        # `row_base + Sy - sy` indexing carries over unchanged
+        gz_c = gz[:, r0:r1 + Sy]
+        dyz_c = dyz[:, r0:r1 + Sy]
+        dxz_c = dxz[:, r0:r1 + Sy]
+        mz_c = mz[:, r0:r1 + Sy]
+        Hgc = gz_c.shape[1]
+        res_spec = lambda ch: pl.BlockSpec((1, Hgc, Wo, ch),
+                                           lambda b, i: (b, 0, 0, 0),
+                                           memory_space=pltpu.VMEM)
+        dxp_i = pl.pallas_call(
+            kernel2,
+            grid=(B, nt),
+            in_specs=[
+                res_spec(Cout), res_spec(K), res_spec(K), res_spec(K),
+                pl.BlockSpec((K * Cin, Cout), lambda b, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, tile_p, Wp, Cin),
+                                   lambda b, i: (b, i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, rows, Wp, Cin), x.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((tile_p, Wp, Cin), jnp.float32),
+                pltpu.VMEM((tile_p, Wo, K * Cin), jnp.float32),
+            ],
+            compiler_params=_DCN_COMPILER_PARAMS,
+        )(gz_c, dyz_c, dxz_c, mz_c, w2d)
+        dxp_c.append(dxp_i)
+    dxp = jnp.concatenate(dxp_c, axis=1) if len(dxp_c) > 1 else dxp_c[0]
 
     dx_out = dxp[:, pad_lo:pad_lo + H, pad_lo:pad_lo + W, :]
 
@@ -583,3 +639,64 @@ def _bwd_xla(stride, padding, radius, tile_h, res, g):
 
 
 deform_conv2d_pallas.defvjp(_fwd, _bwd)
+
+
+# --------------------------------------------------------------------------- #
+# Stride-2 DCN with scatter-free backward
+# --------------------------------------------------------------------------- #
+#
+# The three stride-2 DCN layers (first bottleneck of each ResNet stage)
+# keep the clipped-offset gather FORWARD — it is fast at inference — but
+# its autodiff backward scatters, and at the 960² c3 resolution that
+# scatter alone costs ~0.5-1 s per layer per step. The identity
+#
+#   dcn_s2(x, off, m, w)[i, j] == dcn_s1(x, up2(off), up2(m), w)[2i, 2j]
+#
+# (the stride-2 base grid at (2i - p, 2j - p) IS the stride-1 grid at
+# even positions) lets the backward run through the stride-1 Pallas
+# kernels instead: zero-interleave the cotangent to the full grid, call
+# the Pallas backward, slice the even positions of the offset/mask
+# grads. ~4x redundant kernel work (odd positions carry zero gradient)
+# but no scatter anywhere — ~10x faster than the gather transpose.
+
+
+def _up2(a):
+    return jnp.repeat(jnp.repeat(a, 2, axis=1), 2, axis=2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def deform_conv2d_s2_pallas(x, offset, mask, weight, padding=1, radius=3,
+                            tile_h=8):
+    """Stride-2 bounded-offset DCN: gather forward, Pallas backward."""
+    from ocr_vi_invoice_tpu.ops.dcn import deform_conv2d
+
+    return deform_conv2d(
+        x, jnp.clip(offset, -radius, radius), mask, weight,
+        stride=2, padding=padding,
+    )
+
+
+def _s2_fwd(x, offset, mask, weight, padding, radius, tile_h):
+    out = deform_conv2d_s2_pallas(x, offset, mask, weight, padding, radius,
+                                  tile_h)
+    return out, (x, offset, mask, weight)
+
+
+def _s2_bwd(padding, radius, tile_h, res, g):
+    x, offset, mask, weight = res
+    B, Ho, Wo, Cout = g.shape
+    kh, kw, Cin, _ = weight.shape
+    # cotangent on the full stride-1 grid: zeros at odd rows/cols
+    gf = jax.lax.pad(
+        g, jnp.zeros((), g.dtype),
+        ((0, 0, 0), (0, 1, 1), (0, 1, 1), (0, 0, 0)),
+    )  # (B, 2Ho, 2Wo, Cout), g at even positions
+    dx, doff2, dm2, dw = _dcn_pallas_bwd_impl(
+        x, _up2(offset), _up2(mask), weight, gf, padding, radius, tile_h)
+    return (dx.astype(x.dtype),
+            doff2[:, ::2, ::2, :].astype(offset.dtype),
+            dm2[:, ::2, ::2, :].astype(mask.dtype),
+            dw.reshape(kh, kw, Cin, -1).astype(weight.dtype))
+
+
+deform_conv2d_s2_pallas.defvjp(_s2_fwd, _s2_bwd)

@@ -89,10 +89,12 @@ def main(argv=None):
     ap.add_argument("--resume", type=str, default=None)
     ap.add_argument("--checkpoint_every", type=int, default=5)
     ap.add_argument("--no_dcn", action="store_true")
-    ap.add_argument("--dcn_mode", default="local",
+    ap.add_argument("--dcn_mode", default="pallas",
                     choices=["local", "gather", "pallas"],
-                    help="DCN sampling path; 'local' (bounded offsets) "
-                         "trains 3x faster than exact 'gather' on TPU")
+                    help="DCN sampling path; 'pallas' (bounded offsets, "
+                         "first-party fwd+bwd kernels) trains ~3x faster "
+                         "than 'local' and ~9x faster than exact 'gather' "
+                         "on TPU; use 'local'/'gather' off-TPU")
     ap.add_argument("--max_steps_per_epoch", type=int, default=0,
                     help="debug: cap steps per epoch")
     ap.add_argument("--log_every", type=int, default=100,

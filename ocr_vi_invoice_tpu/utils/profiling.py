@@ -21,6 +21,37 @@ from typing import Any, Dict, Optional
 _CACHE_ENABLED = False
 
 
+def _host_cache_key() -> str:
+    """Backend + CPU-feature fingerprint for the compilation cache dir.
+
+    jax's CPU cache key does not cover the host's CPU features; an AOT
+    executable compiled on an AVX-512-different machine loads with a
+    'machine type ... doesn't match' warning and then computes GARBAGE
+    (observed: NaN train losses and CER 1.0 evals from a cache carried
+    across machines). Keying the directory by a feature hash makes a
+    foreign cache invisible instead of poisonous.
+    """
+    import hashlib
+
+    import jax
+
+    backend = "unknown"
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        pass
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except Exception:
+        pass
+    return f"{backend}-{hashlib.md5(feats.encode()).hexdigest()[:10]}"
+
+
 def enable_compilation_cache(path: Optional[str] = None) -> None:
     global _CACHE_ENABLED
     if _CACHE_ENABLED:
@@ -31,6 +62,7 @@ def enable_compilation_cache(path: Optional[str] = None) -> None:
         "OVI_JAX_CACHE", os.path.join(os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
     )
+    path = os.path.join(path, _host_cache_key())
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         _CACHE_ENABLED = True

@@ -133,3 +133,34 @@ def test_backward_clip_boundary_zero_grad():
 
     doff = jax.grad(f)(off)
     np.testing.assert_array_equal(np.asarray(doff), 0.0)
+
+
+def test_stride2_backward_matches_gather_autodiff():
+    """deform_conv2d_s2_pallas: gather fwd, stride-1-Pallas-on-upsampled-
+    grid bwd — both must equal the clipped-gather autodiff exactly."""
+    rng = np.random.RandomState(2)
+    B, H, W, Cin, Cout, R = 1, 8, 8, 3, 4, 1
+    Ho = H // 2
+    x = jnp.asarray(rng.randn(B, H, W, Cin), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, Cin, Cout), jnp.float32)
+    off = jnp.clip(
+        jnp.asarray(rng.randn(B, Ho, Ho, 18) * 0.8, jnp.float32), -0.9, 0.9)
+    m = jnp.asarray(rng.rand(B, Ho, Ho, 9), jnp.float32)
+    g = jnp.asarray(rng.randn(B, Ho, Ho, Cout), jnp.float32)
+
+    def fp(x, o, mm, ww):
+        return jnp.sum(DK.deform_conv2d_s2_pallas(x, o, mm, ww, 1, R, 2) * g)
+
+    def fg(x, o, mm, ww):
+        return jnp.sum(deform_conv2d(
+            x, jnp.clip(o, -R, R), mm, ww, stride=2, padding=1) * g)
+
+    out_p = DK.deform_conv2d_s2_pallas(x, off, m, w, 1, R, 2)
+    out_g = deform_conv2d(x, jnp.clip(off, -R, R), m, w, stride=2, padding=1)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_g))
+
+    gp = jax.grad(fp, argnums=(0, 1, 2, 3))(x, off, m, w)
+    gg = jax.grad(fg, argnums=(0, 1, 2, 3))(x, off, m, w)
+    for name, a, b in zip(["dx", "doffset", "dmask", "dweight"], gp, gg):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5, err_msg=name)
