@@ -43,9 +43,16 @@ class DetectionDataset:
         thresh_min: float = 0.3,
         thresh_max: float = 0.7,
         seed: int = 0,
+        uint8_transfer: bool = False,
     ):
+        """``uint8_transfer=True`` emits uint8 image/maps (thresh_map
+        quantized x255): 4x smaller host->device payloads — on this dev
+        harness's TPU relay the f32 batch (103 MB at 960/bs4) costs
+        ~3.4 s/step, dwarfing the 0.8 s compute. The jitted train/eval
+        steps dequantize+normalize on device (`train/steps.py:prep`)."""
         self.data_dir = Path(data_dir)
         self.image_size = image_size
+        self.uint8_transfer = uint8_transfer
         self.is_training = is_training
         self.shrink_ratio = shrink_ratio
         self.thresh_min = thresh_min
@@ -65,12 +72,13 @@ class DetectionDataset:
 
     def _blank(self) -> Dict[str, np.ndarray]:
         s = self.image_size
+        dt = np.uint8 if self.uint8_transfer else np.float32
         return {
-            "image": np.zeros((s, s, 3), np.float32),
-            "gt": np.zeros((s, s, 1), np.float32),
-            "mask": np.zeros((s, s, 1), np.float32),
-            "thresh_map": np.zeros((s, s, 1), np.float32),
-            "thresh_mask": np.zeros((s, s, 1), np.float32),
+            "image": np.zeros((s, s, 3), dt),
+            "gt": np.zeros((s, s, 1), dt),
+            "mask": np.zeros((s, s, 1), dt),
+            "thresh_map": np.zeros((s, s, 1), dt),
+            "thresh_mask": np.zeros((s, s, 1), dt),
         }
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
@@ -117,7 +125,8 @@ class DetectionDataset:
             is_training=self.is_training,
         )
 
-        image_t, maps = _resize_pad(image, [gt, mask, tm, tk], self.image_size)
+        image_t, maps = _resize_pad(image, [gt, mask, tm, tk], self.image_size,
+                                    uint8=self.uint8_transfer)
         gt, mask, tm, tk = maps
         return {
             "image": image_t,
@@ -129,13 +138,27 @@ class DetectionDataset:
 
 
 def _resize_pad(
-    image: np.ndarray, masks: List[np.ndarray], size: int
+    image: np.ndarray, masks: List[np.ndarray], size: int, uint8: bool = False
 ) -> Tuple[np.ndarray, List[np.ndarray]]:
     h, w = image.shape[:2]
     scale = size / max(h, w)
     nh, nw = int(h * scale), int(w * scale)
     if scale != 1.0:
         image = cv2.resize(image, (nw, nh))
+    if uint8:
+        out = np.zeros((size, size, 3), np.uint8)
+        out[:nh, :nw] = image if image.dtype == np.uint8 else np.clip(
+            image, 0, 255).astype(np.uint8)
+        out_masks = []
+        for m in masks:
+            if scale != 1.0:
+                m = cv2.resize(m, (nw, nh), interpolation=cv2.INTER_NEAREST)
+            # maps are {0,1} or [0,1]: quantize x255 (0.002 step — far
+            # below the 0.3..0.7 thresh-map dynamics)
+            mm = np.zeros((size, size), np.uint8)
+            mm[:nh, :nw] = np.clip(m * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            out_masks.append(mm)
+        return out, out_masks
     out = np.zeros((size, size, 3), np.float32)
     if image.dtype == np.uint8:
         for c in range(3):

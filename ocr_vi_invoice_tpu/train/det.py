@@ -63,7 +63,11 @@ def main(argv=None):
     from ocr_vi_invoice_tpu.data.det_dataset import DetectionDataset
     from ocr_vi_invoice_tpu.data.loader import iterate, num_batches
     from ocr_vi_invoice_tpu.models.dbnet import DBNetPP
-    from ocr_vi_invoice_tpu.parallel.mesh import make_mesh, shard_batch
+    from ocr_vi_invoice_tpu.parallel.mesh import (
+        device_prefetch,
+        make_mesh,
+        shard_batch,
+    )
     from ocr_vi_invoice_tpu.train.checkpoint import CheckpointManager, load_weights
     from ocr_vi_invoice_tpu.train.schedules import (
         det_finetune_phase_optimizer,
@@ -110,10 +114,16 @@ def main(argv=None):
     mesh = make_mesh(jax.devices()[: args.n_devices] if args.n_devices else None)
     print(f"Devices: {jax.devices()}; mesh {dict(mesh.shape)}")
 
-    train_ds = DetectionDataset(args.train_dir, args.image_size, is_training=True)
-    val_ds = DetectionDataset(args.val_dir, args.image_size, is_training=False)
+    # uint8 transfer: 4x smaller host->device batches (103 MB -> 26 MB at
+    # 960/bs4), dequantized inside the jitted steps; essential behind this
+    # environment's device relay (measured 3.4 s/step of upload at f32).
+    train_ds = DetectionDataset(args.train_dir, args.image_size,
+                                is_training=True, uint8_transfer=True)
+    val_ds = DetectionDataset(args.val_dir, args.image_size,
+                              is_training=False, uint8_transfer=True)
     test_ds = (
-        DetectionDataset(args.test_dir, args.image_size, is_training=False)
+        DetectionDataset(args.test_dir, args.image_size, is_training=False,
+                         uint8_transfer=True)
         if args.test_dir and Path(args.test_dir).is_dir()
         else None
     )
@@ -167,10 +177,15 @@ def main(argv=None):
 
         t0 = time.time()
         total_loss, steps = 0.0, 0
-        for batch in iterate(train_ds, args.batch_size, shuffle=True,
-                             seed=42, epoch=epoch, drop_last=True):
-            state, metrics = train_step(state, shard_batch(mesh, batch))
-            total_loss += float(metrics["loss"])
+        pending = None  # lag the loss fetch one step so the device never
+        #                 idles on the host's metric round-trip
+        for dev_batch in device_prefetch(
+            iterate(train_ds, args.batch_size, shuffle=True,
+                    seed=42, epoch=epoch, drop_last=True), mesh):
+            state, metrics = train_step(state, dev_batch)
+            if pending is not None:
+                total_loss += float(pending["loss"])
+            pending = metrics
             steps += 1
             if args.log_every and steps % args.log_every == 0:
                 rate = steps / max(time.time() - t0, 1e-9)
@@ -183,6 +198,8 @@ def main(argv=None):
                                 "dcn": not args.no_dcn})
             if args.max_steps_per_epoch and steps >= args.max_steps_per_epoch:
                 break
+        if pending is not None:
+            total_loss += float(pending["loss"])
         train_loss = total_loss / max(steps, 1)
 
         val = evaluate(model, state, val_ds, args.batch_size, mesh, eval_step)

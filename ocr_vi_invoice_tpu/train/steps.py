@@ -28,6 +28,44 @@ from ocr_vi_invoice_tpu.losses.db_loss import db_loss
 from ocr_vi_invoice_tpu.losses.rec_loss import svtrv2_loss
 from ocr_vi_invoice_tpu.train.metrics import det_pixel_metrics
 
+# ImageNet normalization, applied ON DEVICE when the input pipeline ships
+# uint8 (see DetectionDataset(uint8_transfer=True): 4x smaller host->TPU
+# payloads; the f32 det batch at 960/bs4 is 103 MB and dominated the step
+# behind this dev harness's device relay).
+_IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+_IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+
+
+def prep_det_batch(batch: Dict[str, jnp.ndarray],
+                   compute_dtype=jnp.bfloat16) -> Dict[str, jnp.ndarray]:
+    """Dequantize a uint8-transferred det batch inside jit (no-op on f32).
+
+    image: uint8 RGB -> normalized compute dtype; maps: uint8 (x255
+    quantized) -> f32 in [0, 1].
+    """
+    out = dict(batch)
+    img = batch["image"]
+    if img.dtype == jnp.uint8:
+        x = img.astype(jnp.float32) / 255.0
+        out["image"] = ((x - _IMAGENET_MEAN) / _IMAGENET_STD).astype(
+            compute_dtype)
+    for k in ("gt", "mask", "thresh_map", "thresh_mask"):
+        if k in batch and batch[k].dtype == jnp.uint8:
+            out[k] = batch[k].astype(jnp.float32) / 255.0
+    return out
+
+
+def prep_rec_batch(batch: Dict[str, jnp.ndarray],
+                   compute_dtype=jnp.bfloat16) -> Dict[str, jnp.ndarray]:
+    """Dequantize a uint8-transferred rec batch inside jit (no-op on f32)."""
+    out = dict(batch)
+    img = batch["image"]
+    if img.dtype == jnp.uint8:
+        x = img.astype(jnp.float32) / 255.0
+        out["image"] = ((x - _IMAGENET_MEAN) / _IMAGENET_STD).astype(
+            compute_dtype)
+    return out
+
 
 @flax.struct.dataclass
 class TrainState:
@@ -86,6 +124,8 @@ def make_det_train_step(
     model, alpha: float = 5.0, beta: float = 10.0, ohem_ratio: float = 3.0
 ) -> Callable:
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        batch = prep_det_batch(batch)
+
         def loss_fn(params):
             preds, mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -111,6 +151,7 @@ def make_det_train_step(
 
 def make_det_eval_step(model, alpha=5.0, beta=10.0, ohem_ratio=3.0) -> Callable:
     def step(state: TrainState, batch):
+        batch = prep_det_batch(batch)
         preds = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch["image"], train=False,
@@ -130,6 +171,8 @@ def make_det_eval_step(model, alpha=5.0, beta=10.0, ohem_ratio=3.0) -> Callable:
 
 def make_rec_train_step(model, lambda_sgm: float = 0.1) -> Callable:
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
+        batch = prep_rec_batch(batch)
+
         def loss_fn(params):
             out, mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -165,6 +208,7 @@ def make_rec_eval_step(model) -> Callable:
     def step(state: TrainState, batch):
         from ocr_vi_invoice_tpu.ops.ctc import ctc_neg_log_likelihood
 
+        batch = prep_rec_batch(batch)
         log_probs = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch["image"], train=False,
