@@ -87,13 +87,20 @@ class RecognitionDataset:
         augment: bool = False,
         max_label_len: int = 48,
         seed: int = 0,
+        uint8_transfer: bool = False,
     ):
+        """``uint8_transfer=True`` emits raw uint8 images (no host
+        normalization): 4x smaller host->device payloads, dequantized +
+        normalized inside the jitted step (`train/steps.py:prep_rec_batch`).
+        Required by ``--device_augment`` (augmentation runs on device in
+        [0,1] space before normalization)."""
         self.samples = list(samples)
         self.img_size = img_size
         self.tokenizer = Tokenizer()
         self.max_label_len = max_label_len
         self.transform = RecAugment(seed=seed) if augment else None
         self.seed = seed
+        self.uint8_transfer = uint8_transfer
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -118,6 +125,9 @@ class RecognitionDataset:
                     image, 0, 0, 0, tw - image.shape[1], cv2.BORDER_CONSTANT,
                     value=(255, 255, 255),
                 )
+        if self.uint8_transfer:
+            return image if image.dtype == np.uint8 else np.clip(
+                image, 0, 255).astype(np.uint8)
         if image.dtype == np.uint8:
             # fused uint8 -> normalized float via per-channel LUT (the
             # broadcast arithmetic costs ~0.5 ms/sample on this host)
@@ -167,13 +177,17 @@ def create_datasets(
     img_size: Tuple[int, int] = (32, 256),
     augment: bool = False,
     max_label_len: int = 48,
+    uint8_transfer: bool = False,
 ):
     """(train, val, test) RecognitionDatasets; layout parity with
-    `rec2/dataloader.py:267-350` (train=VietOCR, val/test=MC-OCR)."""
+    `rec2/dataloader.py:267-350` (train=VietOCR, val/test=MC-OCR).
+    ``uint8_transfer`` applies to the train split only (eval batches are
+    small and the f32 eval path is unchanged)."""
     test_img_dir = test_img_dir or val_img_dir
     train = RecognitionDataset(
         load_vietocr_samples(vietocr_dir, vietocr_subfolders),
         img_size, augment=augment, max_label_len=max_label_len,
+        uint8_transfer=uint8_transfer,
     )
     val = RecognitionDataset(
         load_mcocr_samples(val_annotation, val_img_dir), img_size,

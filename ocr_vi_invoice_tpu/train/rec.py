@@ -63,7 +63,11 @@ def main(argv=None):
     from ocr_vi_invoice_tpu.data.rec_dataset import create_datasets
     from ocr_vi_invoice_tpu.data.tokenizer import Tokenizer
     from ocr_vi_invoice_tpu.models.svtrv2 import SVTRv2
-    from ocr_vi_invoice_tpu.parallel.mesh import make_mesh, shard_batch
+    from ocr_vi_invoice_tpu.parallel.mesh import (
+        device_prefetch,
+        make_mesh,
+        shard_batch,
+    )
     from ocr_vi_invoice_tpu.train.checkpoint import CheckpointManager, load_weights
     from ocr_vi_invoice_tpu.train.schedules import adamw_onecycle
     from ocr_vi_invoice_tpu.train.steps import (
@@ -92,7 +96,13 @@ def main(argv=None):
                     choices=["tiny", "small", "base"])
     ap.add_argument("--max_label_len", type=int, default=48)
     ap.add_argument("--lambda_sgm", type=float, default=0.1)
-    ap.add_argument("--augment", action="store_true")
+    ap.add_argument("--augment", action="store_true",
+                    help="host-side RecAugment in the input pipeline "
+                         "(reference recipe; ~45 ms/sample of CPU)")
+    ap.add_argument("--device_augment", action="store_true",
+                    help="same augmentation distributions jitted into the "
+                         "train step (ops/device_augment.py) — use on TPU "
+                         "where the host core can't feed RecAugment")
     ap.add_argument("--save_dir", type=str, default="weights/rec2")
     ap.add_argument("--resume", type=str, default=None)
     ap.add_argument("--checkpoint_every", type=int, default=5)
@@ -107,7 +117,7 @@ def main(argv=None):
                          "the multi-vs-single-device equivalence test")
     args = ap.parse_args(argv)
 
-    if args.augment and args.save_dir == "weights/rec2":
+    if (args.augment or args.device_augment) and args.save_dir == "weights/rec2":
         args.save_dir = "weights/rec2_aug"
 
     mesh = make_mesh(jax.devices()[: args.n_devices] if args.n_devices else None)
@@ -122,6 +132,7 @@ def main(argv=None):
         img_size=(args.img_height, args.img_width),
         augment=args.augment,
         max_label_len=args.max_label_len,
+        uint8_transfer=args.device_augment,
     )
     print(f"Train {len(train_ds)} / val {len(val_ds)}"
           + (f" / test {len(test_ds)}" if test_ds else ""))
@@ -148,24 +159,35 @@ def main(argv=None):
     tx = adamw_onecycle(args.lr, steps_per_epoch * args.epochs)
     state = TrainState.create(variables["params"], variables["batch_stats"], tx)
 
-    train_step = jax.jit(make_rec_train_step(model, args.lambda_sgm))
+    train_step = jax.jit(make_rec_train_step(
+        model, args.lambda_sgm, device_augment=args.device_augment))
     eval_step = jax.jit(make_rec_eval_step(model))
 
     ckpt = CheckpointManager(args.save_dir, every=args.checkpoint_every)
     log = CSVLogger(Path(args.save_dir) / "training_log.csv", REC_COLUMNS,
                     resume=bool(args.resume))
 
+    def _device_batches(epoch):
+        # strip host-only fields before the device upload
+        def gen():
+            for batch in iterate(train_ds, args.batch_size, shuffle=True,
+                                 seed=42, epoch=epoch, drop_last=True):
+                batch.pop("text", None)
+                yield batch
+        return device_prefetch(gen(), mesh)
+
     best_acc = 0.0
     step_rng = jax.random.PRNGKey(7)
     for epoch in range(args.epochs):
         t0 = time.time()
         total_loss, steps = 0.0, 0
-        for batch in iterate(train_ds, args.batch_size, shuffle=True,
-                             seed=42, epoch=epoch, drop_last=True):
-            batch.pop("text", None)
+        pending = None  # lag the loss fetch one step (see train/det.py)
+        for dev_batch in _device_batches(epoch):
             step_rng, sub = jax.random.split(step_rng)
-            state, metrics = train_step(state, shard_batch(mesh, batch), sub)
-            total_loss += float(metrics["loss"])
+            state, metrics = train_step(state, dev_batch, sub)
+            if pending is not None:
+                total_loss += float(pending["loss"])
+            pending = metrics
             steps += 1
             if args.log_every and steps % args.log_every == 0:
                 rate = steps / max(time.time() - t0, 1e-9)
@@ -177,6 +199,8 @@ def main(argv=None):
                                {"variant": args.variant})
             if args.max_steps_per_epoch and steps >= args.max_steps_per_epoch:
                 break
+        if pending is not None:
+            total_loss += float(pending["loss"])
         train_loss = total_loss / max(steps, 1)
 
         val = evaluate(state, val_ds, args.batch_size, mesh, eval_step, tokenizer)

@@ -56,12 +56,21 @@ def prep_det_batch(batch: Dict[str, jnp.ndarray],
 
 
 def prep_rec_batch(batch: Dict[str, jnp.ndarray],
-                   compute_dtype=jnp.bfloat16) -> Dict[str, jnp.ndarray]:
-    """Dequantize a uint8-transferred rec batch inside jit (no-op on f32)."""
+                   compute_dtype=jnp.bfloat16,
+                   aug_key=None) -> Dict[str, jnp.ndarray]:
+    """Dequantize a uint8-transferred rec batch inside jit (no-op on f32).
+
+    With ``aug_key``, the on-device augmentation pipeline
+    (`ops/device_augment.py`) runs between dequantize and normalize —
+    the TPU-native replacement for host-side RecAugment (which costs
+    ~3 s/step of single-core CPU at batch 64)."""
     out = dict(batch)
     img = batch["image"]
     if img.dtype == jnp.uint8:
         x = img.astype(jnp.float32) / 255.0
+        if aug_key is not None:
+            from ocr_vi_invoice_tpu.ops.device_augment import augment_rec_batch
+            x = augment_rec_batch(aug_key, x)
         out["image"] = ((x - _IMAGENET_MEAN) / _IMAGENET_STD).astype(
             compute_dtype)
     return out
@@ -169,9 +178,14 @@ def make_det_eval_step(model, alpha=5.0, beta=10.0, ohem_ratio=3.0) -> Callable:
 # --------------------------------------------------------------------------- #
 
 
-def make_rec_train_step(model, lambda_sgm: float = 0.1) -> Callable:
+def make_rec_train_step(model, lambda_sgm: float = 0.1,
+                        device_augment: bool = False) -> Callable:
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
-        batch = prep_rec_batch(batch)
+        if device_augment:
+            rng, aug_key = jax.random.split(rng)
+            batch = prep_rec_batch(batch, aug_key=aug_key)
+        else:
+            batch = prep_rec_batch(batch)
 
         def loss_fn(params):
             out, mut = model.apply(

@@ -85,6 +85,27 @@ def test_rec_train_one_epoch(rec_data, tmp_path, capsys):
     assert (tmp_path / "w" / "training_log.csv").exists()
 
 
+def test_rec_train_device_augment(rec_data, tmp_path, capsys):
+    """--device_augment: uint8 input pipeline + jitted augmentation in the
+    train step; one epoch trains with finite loss and evals."""
+    from ocr_vi_invoice_tpu.train.rec import main
+
+    main([
+        "--vietocr_dir", str(rec_data / "vietocr"),
+        "--val_annotation", str(rec_data / "val.txt"),
+        "--val_img_dir", str(rec_data / "mcocr"),
+        "--test_annotation", "",
+        "--epochs", "1", "--batch_size", "8",
+        "--img_width", "64", "--variant", "tiny", "--max_label_len", "8",
+        "--save_dir", str(tmp_path / "w"), "--device_augment",
+    ])
+    out = capsys.readouterr().out
+    assert "Epoch   1" in out and "CER" in out
+    import re
+    m = re.search(r"Train (\S+)", out)
+    assert m and np.isfinite(float(m.group(1)))
+
+
 def test_rec_train_resume(rec_data, tmp_path, capsys):
     from ocr_vi_invoice_tpu.train.rec import main
 
