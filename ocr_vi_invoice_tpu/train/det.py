@@ -63,11 +63,7 @@ def main(argv=None):
     from ocr_vi_invoice_tpu.data.det_dataset import DetectionDataset
     from ocr_vi_invoice_tpu.data.loader import iterate, num_batches
     from ocr_vi_invoice_tpu.models.dbnet import DBNetPP
-    from ocr_vi_invoice_tpu.parallel.mesh import (
-        device_prefetch,
-        make_mesh,
-        shard_batch,
-    )
+    from ocr_vi_invoice_tpu.parallel.mesh import device_prefetch, make_mesh
     from ocr_vi_invoice_tpu.train.checkpoint import CheckpointManager, load_weights
     from ocr_vi_invoice_tpu.train.schedules import (
         det_finetune_phase_optimizer,

@@ -63,11 +63,7 @@ def main(argv=None):
     from ocr_vi_invoice_tpu.data.rec_dataset import create_datasets
     from ocr_vi_invoice_tpu.data.tokenizer import Tokenizer
     from ocr_vi_invoice_tpu.models.svtrv2 import SVTRv2
-    from ocr_vi_invoice_tpu.parallel.mesh import (
-        device_prefetch,
-        make_mesh,
-        shard_batch,
-    )
+    from ocr_vi_invoice_tpu.parallel.mesh import device_prefetch, make_mesh
     from ocr_vi_invoice_tpu.train.checkpoint import CheckpointManager, load_weights
     from ocr_vi_invoice_tpu.train.schedules import adamw_onecycle
     from ocr_vi_invoice_tpu.train.steps import (
