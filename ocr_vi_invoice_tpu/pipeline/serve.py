@@ -73,6 +73,10 @@ def main(argv=None):
     ap.add_argument("--unclip_ratio", type=float, default=1.6)
     ap.add_argument("--rec_variant", default="base")
     ap.add_argument("--prefetch_threads", type=int, default=2)
+    ap.add_argument("--batch_size", type=int, default=1,
+                    help=">1: run the fused program vmapped over image "
+                         "stacks sharded across the device mesh's data "
+                         "axis (must be a multiple of the data-axis size)")
     args = ap.parse_args(argv)
 
     import jax
@@ -116,10 +120,20 @@ def main(argv=None):
     )
     from ocr_vi_invoice_tpu.ops.dcn import inference_dcn_mode
 
+    mesh = None
+    if args.batch_size > 1:
+        from ocr_vi_invoice_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()  # all devices on the data axis
+        if args.batch_size % mesh.shape["data"] != 0:
+            raise SystemExit(
+                f"--batch_size {args.batch_size} must be a multiple of the "
+                f"mesh data axis ({mesh.shape['data']})")
     fused = FusedOCR(
         det_vars, rec_vars, cfg,
         rec_variant=rec_meta.get("variant", args.rec_variant),
         dcn_mode=inference_dcn_mode(det_meta.get("dcn_mode", "gather")),
+        mesh=mesh,
     )
 
     paths = sorted(
@@ -134,15 +148,9 @@ def main(argv=None):
 
     n_done = 0
     t0 = time.time()
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        p, canvas, meta = item
-        if canvas is None:
-            print(f"{p.name}: unreadable, skipped")
-            continue
-        results = fused(canvas)
+
+    def emit(p, results, meta):
+        nonlocal n_done, t0
         # rescale boxes from bucket coords to original image coords
         (sh, sw), (rh, rw), (oh, ow) = meta
         for r in results:
@@ -158,6 +166,34 @@ def main(argv=None):
         n_done += 1
         if n_done == 1:
             t0 = time.time()  # exclude compile from the rate
+
+    group: List = []  # (path, canvas, meta) awaiting a full batch
+    while True:
+        item = q.get()
+        if item is not None:
+            p, canvas, meta = item
+            if canvas is None:
+                print(f"{p.name}: unreadable, skipped")
+                continue
+            if args.batch_size <= 1:
+                emit(p, fused(canvas), meta)
+                continue
+            group.append((p, canvas, meta))
+        if item is None or len(group) == args.batch_size:
+            if group:
+                # pad the final partial group with blank canvases, then
+                # drop the padded rows' results
+                real = len(group)
+                stack = np.stack(
+                    [g[1] for g in group]
+                    + [np.zeros_like(group[0][1])] * (args.batch_size - real)
+                )
+                for (p, _, meta), results in zip(
+                        group, fused.batch(stack)[:real]):
+                    emit(p, results, meta)
+                group = []
+            if item is None:
+                break
 
     dt = max(time.time() - t0, 1e-9)
     rate = max(n_done - 1, 0) / dt

@@ -38,3 +38,39 @@ def test_fused_program_runs_end_to_end():
     r = results[0]
     assert len(r["box"]) == 4 and isinstance(r["text"], str)
     assert 0.45 < r["score"] < 0.55
+
+
+def test_fused_batch_sharded_matches_single():
+    """FusedOCR.batch over an 8-device data mesh returns per-image results
+    identical to the single-image program."""
+    from ocr_vi_invoice_tpu.models.dbnet import DBNetPP
+    from ocr_vi_invoice_tpu.models.svtrv2 import SVTRv2
+    from ocr_vi_invoice_tpu.parallel.mesh import make_mesh
+
+    cfg = PipelineConfig(
+        det_image_size=64, rec_batch_size=8, max_boxes=8,
+        postprocess=PostProcessConfig(thresh=0.3, box_thresh=0.4, min_area=4),
+    )
+    det = DBNetPP(dcn=True, dtype=jnp.float32)
+    rec = SVTRv2(variant="tiny", dtype=jnp.float32)
+    det_vars = _zeros(det, jnp.zeros((1, 64, 64, 3)))
+    rec_vars = _zeros(rec, jnp.zeros((1, 32, 256, 3)))
+
+    mesh = make_mesh(jax.devices()[:8])
+    fused = FusedOCR(det_vars, rec_vars, cfg, rec_variant="tiny",
+                     dtype=jnp.float32, mesh=mesh)
+    rng = np.random.RandomState(1)
+    stack = rng.randint(0, 255, (8, 64, 64, 3)).astype(np.uint8)
+
+    batched = fused.batch(stack)
+    assert len(batched) == 8
+    for i in (0, 3, 7):
+        single = fused(stack[i])
+        assert len(single) == len(batched[i])
+        for rs, rb in zip(single, batched[i]):
+            np.testing.assert_allclose(rs["box"], rb["box"], atol=1e-3)
+            assert rs["text"] == rb["text"]
+            assert abs(rs["score"] - rb["score"]) < 1e-4
+
+    with pytest.raises(ValueError):
+        fused.batch(stack[:3])  # not a multiple of the data axis
