@@ -143,9 +143,7 @@ def main():
 
     from ocr_vi_invoice_tpu.models.dbnet import DBNetPP
     from ocr_vi_invoice_tpu.models.svtrv2 import SVTRv2
-    from ocr_vi_invoice_tpu.ops.cc import extract_boxes
     from ocr_vi_invoice_tpu.ops.dcn import inference_dcn_mode
-    from ocr_vi_invoice_tpu.ops.warp import crop_resize_batch
     from ocr_vi_invoice_tpu.utils.config import PipelineConfig
 
     key = jax.random.PRNGKey(0)
@@ -204,21 +202,19 @@ def main():
     rec_t = _timed(rec_loop, rec_vars, rec_in)
 
     # ---- the FUSED program: det -> boxes -> crops -> rec -> argmax ------ #
-    # Same dataflow as pipeline/fused.py FusedOCR.program, wrapped in a
-    # carried loop so the relay's async dispatch can't fake the timing.
+    # THE shipped program (pipeline/fused.py FusedOCR._run — incl. its
+    # chunked-rec tile skipping), wrapped in a carried loop so the relay's
+    # async dispatch can't fake the timing.
+    from ocr_vi_invoice_tpu.pipeline.fused import FusedOCR
+
+    fused = FusedOCR(det_vars, rec_vars, cfg,
+                     rec_variant=rec_meta.get("variant", "base"),
+                     dtype=jnp.bfloat16, dcn_mode=dcn_mode)
+
     @jax.jit
     def fused_loop(dv, rv, img, n):
         def body(i, carry):
-            norm = (carry / 255.0 - mean) / std
-            prob = det.apply(dv, norm[None].astype(jnp.bfloat16))["binary"]
-            prob = prob[0, :, :, 0]
-            boxes, scores, valid = extract_boxes(
-                prob, pp.thresh, pp.box_thresh, pp.unclip_ratio, pp.min_area,
-                max_boxes=K,
-            )
-            crops = crop_resize_batch(carry, boxes, valid, rec_h, rec_w)
-            log_probs = rec.apply(rv, crops.astype(jnp.bfloat16))
-            ids = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
+            boxes, scores, valid, ids = fused._run(dv, rv, carry)
             feedback = (jnp.sum(boxes) * 1e-12
                         + jnp.sum(ids).astype(jnp.float32) * 1e-12)
             return carry + feedback

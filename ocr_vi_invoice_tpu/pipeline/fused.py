@@ -44,10 +44,13 @@ class FusedOCR:
         dtype=None,
         dcn_mode: str = "gather",
         mesh=None,
+        rec_chunk: Optional[int] = 64,
     ):
         """``mesh``: optional `jax.sharding.Mesh` with a ``data`` axis;
         enables `batch()` with the image stack sharded over it (batch
-        size must then be a multiple of the data-axis size)."""
+        size must then be a multiple of the data-axis size).
+        ``rec_chunk``: tile size for data-dependent recognition skipping
+        (None disables; inactive unless it divides ``cfg.max_boxes``)."""
         import jax
         import jax.numpy as jnp
 
@@ -68,6 +71,42 @@ class FusedOCR:
         K = self.cfg.max_boxes
         rec_h, rec_w = self.cfg.rec_img_size
 
+        # Recognition chunking: a typical invoice fills ~40-80 of the K=256
+        # crop slots, and component ids from `extract_boxes` are rank-ordered,
+        # so slots past the last valid index are guaranteed empty. Running
+        # rec over CH-crop tiles inside a fori_loop and skipping tiles past
+        # the last valid box (lax.cond — a real XLA conditional on TPU, both
+        # branches compiled but only one executed) cuts the dominant rec cost
+        # from K crops to ceil(n/CH)*CH without leaving the device or
+        # breaking static shapes. Under vmap (the batch path) cond lowers to
+        # select and all tiles run — batch serving keeps full-K cost.
+        CH = rec_chunk or 0
+        T = rec_w // 4  # SVTRv2 CTC frames: stem /4, width kept thereafter
+
+        def rec_ids(rec_vars, crops, valid):
+            if CH <= 0 or K <= CH or K % CH != 0:
+                log_probs = rec.apply(rec_vars, crops.astype(self.dtype))
+                return jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
+            last = jnp.max(
+                jnp.where(valid, jnp.arange(K, dtype=jnp.int32), -1))
+
+            def body(c, ids_acc):
+                start = c * CH
+
+                def do(_):
+                    crop_c = jax.lax.dynamic_slice_in_dim(crops, start, CH, 0)
+                    lp = rec.apply(rec_vars, crop_c.astype(self.dtype))
+                    return jnp.argmax(lp, axis=-1).astype(jnp.int32)
+
+                ids_c = jax.lax.cond(
+                    start <= last, do,
+                    lambda _: jnp.zeros((CH, T), jnp.int32), None)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    ids_acc, ids_c, start, 0)
+
+            return jax.lax.fori_loop(
+                0, K // CH, body, jnp.zeros((K, T), jnp.int32))
+
         def run(det_vars, rec_vars, image_f32):
             # image_f32: (H, W, 3) float32 0..255, already size-bucketed
             mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
@@ -80,10 +119,10 @@ class FusedOCR:
                 max_boxes=K,
             )
             crops = crop_resize_batch(image_f32, boxes, valid, rec_h, rec_w)
-            log_probs = rec.apply(rec_vars, crops.astype(self.dtype))
-            ids = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
+            ids = rec_ids(rec_vars, crops, valid)
             return boxes, scores, valid, ids
 
+        self._run = run  # unjitted; bench.py wraps it in a timing loop
         self._program = jax.jit(run)
         self.mesh = mesh
         # Batched variant: vmap over the image stack. Every per-image op

@@ -74,3 +74,34 @@ def test_fused_batch_sharded_matches_single():
 
     with pytest.raises(ValueError):
         fused.batch(stack[:3])  # not a multiple of the data axis
+
+
+def test_fused_rec_chunking_matches_unchunked():
+    """The chunked-rec program (tile skipping past the last valid box) must
+    return the same results as the plain full-capacity run on valid slots."""
+    from ocr_vi_invoice_tpu.models.dbnet import DBNetPP
+    from ocr_vi_invoice_tpu.models.svtrv2 import SVTRv2
+
+    cfg = PipelineConfig(
+        det_image_size=64, rec_batch_size=8, max_boxes=128,
+        postprocess=PostProcessConfig(thresh=0.3, box_thresh=0.4, min_area=4),
+    )
+    det = DBNetPP(dcn=True, dtype=jnp.float32)
+    rec = SVTRv2(variant="tiny", dtype=jnp.float32)
+    key = jax.random.PRNGKey(3)
+    det_vars = det.init(key, jnp.zeros((1, 64, 64, 3)))
+    rec_vars = rec.init(key, jnp.zeros((1, 32, 256, 3)))
+
+    chunked = FusedOCR(det_vars, rec_vars, cfg, rec_variant="tiny",
+                       dtype=jnp.float32, rec_chunk=64)
+    plain = FusedOCR(det_vars, rec_vars, cfg, rec_variant="tiny",
+                     dtype=jnp.float32, rec_chunk=None)
+    img = np.random.RandomState(2).randint(
+        0, 255, (64, 64, 3)).astype(np.uint8)
+
+    rc = chunked(img)
+    rp = plain(img)
+    assert len(rc) == len(rp)
+    for a, b in zip(rc, rp):
+        np.testing.assert_allclose(a["box"], b["box"], atol=1e-3)
+        assert a["text"] == b["text"]

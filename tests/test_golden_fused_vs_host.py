@@ -56,7 +56,10 @@ def test_fused_matches_host_on_trained_checkpoints():
     canvas = np.zeros((S, S, 3), np.uint8)
     canvas[: resized.shape[0], : resized.shape[1]] = resized
 
-    cfg = PipelineConfig(det_image_size=S, max_boxes=64)
+    # 128 slots with ~26 real boxes: the fused path's chunked-rec tile
+    # skipping (rec_chunk=64) is active, so this golden also checks the
+    # chunk assembly against the host pipeline.
+    cfg = PipelineConfig(det_image_size=S, max_boxes=128)
     cfg.postprocess.box_thresh = 0.5
     cfg.postprocess.unclip_ratio = 1.6
 
