@@ -44,15 +44,24 @@ class DetectionDataset:
         thresh_max: float = 0.7,
         seed: int = 0,
         uint8_transfer: bool = False,
+        bitpack: bool = False,
     ):
         """``uint8_transfer=True`` emits uint8 image/maps (thresh_map
         quantized x255): 4x smaller host->device payloads — on this dev
         harness's TPU relay the f32 batch (103 MB at 960/bs4) costs
         ~3.4 s/step, dwarfing the 0.8 s compute. The jitted train/eval
-        steps dequantize+normalize on device (`train/steps.py:prep`)."""
+        steps dequantize+normalize on device (`train/steps.py:prep`).
+
+        ``bitpack=True`` (requires uint8_transfer, size % 8 == 0)
+        additionally packs the three BINARY maps (gt/mask/thresh_mask) to
+        1 bit/px along the width axis — (S, S/8, 1) uint8 — unpacked
+        on-device by ``prep_det_batch``. Cuts the det batch upload another
+        ~38% (25.8 -> 16.2 MB at 960/bs4); besides transfer time this
+        matters because the dev relay leaks host RSS per uploaded byte."""
         self.data_dir = Path(data_dir)
         self.image_size = image_size
         self.uint8_transfer = uint8_transfer
+        self.bitpack = bool(bitpack and uint8_transfer and image_size % 8 == 0)
         self.is_training = is_training
         self.shrink_ratio = shrink_ratio
         self.thresh_min = thresh_min
@@ -73,12 +82,13 @@ class DetectionDataset:
     def _blank(self) -> Dict[str, np.ndarray]:
         s = self.image_size
         dt = np.uint8 if self.uint8_transfer else np.float32
+        w = s // 8 if self.bitpack else s
         return {
             "image": np.zeros((s, s, 3), dt),
-            "gt": np.zeros((s, s, 1), dt),
-            "mask": np.zeros((s, s, 1), dt),
+            "gt": np.zeros((s, w, 1), dt),
+            "mask": np.zeros((s, w, 1), dt),
             "thresh_map": np.zeros((s, s, 1), dt),
-            "thresh_mask": np.zeros((s, s, 1), dt),
+            "thresh_mask": np.zeros((s, w, 1), dt),
         }
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
@@ -128,6 +138,8 @@ class DetectionDataset:
         image_t, maps = _resize_pad(image, [gt, mask, tm, tk], self.image_size,
                                     uint8=self.uint8_transfer)
         gt, mask, tm, tk = maps
+        if self.bitpack:  # binary maps -> 1 bit/px (big-endian bit order)
+            gt, mask, tk = (np.packbits(m > 127, axis=1) for m in (gt, mask, tk))
         return {
             "image": image_t,
             "gt": gt[..., None],

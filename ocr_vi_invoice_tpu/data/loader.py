@@ -36,8 +36,15 @@ def iterate(
     collate: Optional[Callable] = None,
     prefetch: int = 2,
     num_threads: int = 2,
+    start_batch: int = 0,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Yield batches as dicts of stacked numpy arrays."""
+    """Yield batches as dicts of stacked numpy arrays.
+
+    ``start_batch`` skips the first N batches WITHOUT loading them (the
+    shuffle order is deterministic in (seed, epoch), so a resumed run
+    continues the exact sequence) — used by ``--auto_resume`` to continue
+    a mid-epoch ``last_state`` checkpoint.
+    """
     n = len(dataset)
     if hasattr(dataset, "set_epoch"):
         dataset.set_epoch(epoch)  # deterministic per-epoch augmentation
@@ -47,6 +54,8 @@ def iterate(
     if drop_last:
         order = order[: (n // batch_size) * batch_size]
     batches = [order[i : i + batch_size] for i in range(0, len(order), batch_size)]
+    if start_batch:
+        batches = batches[start_batch:]
     collate = collate or _stack
 
     if not batches:

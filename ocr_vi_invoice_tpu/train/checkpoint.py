@@ -40,19 +40,8 @@ class CheckpointManager:
         # swap) or the finished `name.tmp` (which load_weights falls back
         # to). Writing meta.json before the swap also closes the window
         # where a checkpoint existed without its dcn_mode/variant metadata.
-        final = self.save_dir / name
-        tmp = self.save_dir / (name + ".tmp")
-        if tmp.exists():
-            shutil.rmtree(tmp)
-        self._ckptr.save(
-            tmp, _to_host({"params": params, "batch_stats": batch_stats})
-        )
-        self._ckptr.wait_until_finished()
-        with open(tmp / "meta.json", "w") as f:
-            json.dump(meta, f)
-        if final.exists():
-            shutil.rmtree(final)
-        tmp.rename(final)
+        self._save_payload(
+            name, {"params": params, "batch_stats": batch_stats}, meta)
 
     def save_best(self, epoch: int, params, batch_stats, best_metric: float,
                   extra: Optional[Dict[str, Any]] = None):
@@ -80,6 +69,94 @@ class CheckpointManager:
 
     def load(self, name: str = "best_model") -> Dict[str, Any]:
         return load_weights(self.save_dir / name)
+
+    def peek(self, name: str) -> Optional[Dict[str, Any]]:
+        """meta.json of a checkpoint (or its .tmp fallback), else None —
+        lets a resuming CLI learn the epoch/phase BEFORE building the
+        optimizer tree it must restore into."""
+        for cand in (self.save_dir / name,
+                     self.save_dir / (name + ".tmp")):
+            if (cand / "meta.json").exists():
+                with open(cand / "meta.json") as f:
+                    return json.load(f)
+        return None
+
+    # ---------------- full train-state (preemption recovery) ------------- #
+
+    def save_state(self, epoch: int, step: int, state,
+                   extra: Optional[Dict[str, Any]] = None):
+        """Rolling ``last_state`` checkpoint of the FULL ``TrainState``
+        (params + BN stats + optimizer state + step counter), atomically
+        swapped like every other save.
+
+        Unlike ``save_step`` (weights-only, reference ``--resume``
+        semantics), restoring this continues the optimizer moments and the
+        OneCycle schedule position exactly — the elastic-recovery path for
+        preemptible TPU VMs and for this dev harness's leaky device relay,
+        where a supervisor restarts the process when host RSS runs away
+        (see `train/supervisor.py`).
+        """
+        opt_leaves = jax.tree_util.tree_leaves(state.opt_state)
+        payload = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt": {f"l{i:04d}": leaf for i, leaf in enumerate(opt_leaves)},
+            # NB distinct from the meta.json "step" (loop position): this is
+            # the TrainState.step counter array.
+            "step_counter": state.step,
+        }
+        self._save_payload("last_state", payload,
+                           {"epoch": epoch, "step": step, **(extra or {})})
+
+    def restore_state(self, state_template) -> Optional[Dict[str, Any]]:
+        """Restore ``last_state`` into a freshly-built ``TrainState`` (same
+        model/optimizer construction). Returns ``{state, epoch, step,
+        **meta}`` or None if no last_state exists.
+        """
+        path = self.save_dir / "last_state"
+        if not path.exists() and not path.with_name(
+                path.name + ".tmp").exists():
+            return None
+        r = load_weights(path)
+        leaves, treedef = jax.tree_util.tree_flatten(state_template.opt_state)
+        saved = r["opt"]
+        if len(saved) != len(leaves):
+            raise ValueError(
+                f"optimizer state mismatch: checkpoint has {len(saved)} "
+                f"leaves, template has {len(leaves)} — was the training "
+                "phase/schedule rebuilt differently?")
+        restored_leaves = [
+            jnp_like(saved[f"l{i:04d}"], leaves[i]) for i in range(len(leaves))
+        ]
+        state = state_template.replace(
+            params=r["params"],
+            batch_stats=r["batch_stats"],
+            opt_state=jax.tree_util.tree_unflatten(treedef, restored_leaves),
+            step=jnp_like(r["step_counter"], state_template.step),
+        )
+        meta = {k: v for k, v in r.items()
+                if k not in ("params", "batch_stats", "opt", "step_counter")}
+        return {"state": state, **meta}
+
+    def _save_payload(self, name: str, payload, meta: Dict[str, Any]):
+        final = self.save_dir / name
+        tmp = self.save_dir / (name + ".tmp")
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        self._ckptr.save(tmp, _to_host(payload))
+        self._ckptr.wait_until_finished()
+        with open(tmp / "meta.json", "w") as f:
+            json.dump(meta, f)
+        if final.exists():
+            shutil.rmtree(final)
+        tmp.rename(final)
+
+
+def jnp_like(value, template):
+    """Cast a restored (numpy) leaf to the template leaf's dtype."""
+    import jax.numpy as jnp
+
+    return jnp.asarray(value, dtype=getattr(template, "dtype", None))
 
 
 def load_weights(path: str | Path) -> Dict[str, Any]:

@@ -16,6 +16,7 @@ mesh's data axis (the gradient all-reduce is XLA's), bf16 compute.
 from __future__ import annotations
 
 import argparse
+import os
 import time
 from functools import partial
 from pathlib import Path
@@ -87,6 +88,13 @@ def main(argv=None):
     ap.add_argument("--image_size", type=int, default=960)
     ap.add_argument("--save_dir", type=str, default="weights/det")
     ap.add_argument("--resume", type=str, default=None)
+    ap.add_argument("--auto_resume", action="store_true",
+                    help="continue from <save_dir>/last_state (FULL train "
+                         "state: optimizer moments + schedule position + "
+                         "epoch/step) if it exists; --save_every_steps then "
+                         "rolls last_state instead of the weights-only "
+                         "last_step. Elastic recovery for preemptible or "
+                         "flaky hosts — pair with train.supervisor")
     ap.add_argument("--checkpoint_every", type=int, default=5)
     ap.add_argument("--no_dcn", action="store_true")
     ap.add_argument("--dcn_mode", default="pallas",
@@ -105,6 +113,10 @@ def main(argv=None):
     ap.add_argument("--n_devices", type=int, default=0,
                     help="mesh over the first N devices (0 = all); used by "
                          "the multi-vs-single-device equivalence test")
+    ap.add_argument("--crash_after_steps", type=int, default=0,
+                    help="fault injection: hard-exit(17) after step N of "
+                         "this process (post-checkpoint), to test the "
+                         "auto_resume/supervisor recovery path")
     args = ap.parse_args(argv)
 
     mesh = make_mesh(jax.devices()[: args.n_devices] if args.n_devices else None)
@@ -114,12 +126,14 @@ def main(argv=None):
     # 960/bs4), dequantized inside the jitted steps; essential behind this
     # environment's device relay (measured 3.4 s/step of upload at f32).
     train_ds = DetectionDataset(args.train_dir, args.image_size,
-                                is_training=True, uint8_transfer=True)
+                                is_training=True, uint8_transfer=True,
+                                bitpack=True)
     val_ds = DetectionDataset(args.val_dir, args.image_size,
-                              is_training=False, uint8_transfer=True)
+                              is_training=False, uint8_transfer=True,
+                              bitpack=True)
     test_ds = (
         DetectionDataset(args.test_dir, args.image_size, is_training=False,
-                         uint8_transfer=True)
+                         uint8_transfer=True, bitpack=True)
         if args.test_dir and Path(args.test_dir).is_dir()
         else None
     )
@@ -149,20 +163,58 @@ def main(argv=None):
         steps_per_epoch = min(steps_per_epoch, args.max_steps_per_epoch)
     freeze = max(args.freeze_epochs, 0)
     phase1_steps = steps_per_epoch * (freeze if freeze > 0 else args.epochs)
-    tx = det_freeze_phase_optimizer(args.lr, phase1_steps) if freeze > 0 else \
-        det_finetune_phase_optimizer(args.lr / 0.5, steps_per_epoch * args.epochs)
-    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+
+    ckpt = CheckpointManager(args.save_dir, every=args.checkpoint_every)
+
+    def build_tx(epoch: int):
+        """The optimizer/schedule the loop would be running at ``epoch`` —
+        deterministic in the CLI args, so a resumed process rebuilds the
+        identical tree and the restored optimizer leaves drop in."""
+        if freeze > 0 and epoch < freeze:
+            return det_freeze_phase_optimizer(args.lr, phase1_steps)
+        if freeze > 0:
+            return det_finetune_phase_optimizer(
+                args.lr, steps_per_epoch * (args.epochs - freeze))
+        return det_finetune_phase_optimizer(
+            args.lr / 0.5, steps_per_epoch * args.epochs)
+
+    start_epoch, start_step, best_f1 = 0, 0, 0.0
+    resumed = None
+    if args.auto_resume:
+        meta = ckpt.peek("last_state")
+        if meta is not None:
+            tx = build_tx(meta.get("epoch", 0))
+            template = TrainState.create(
+                variables["params"], variables["batch_stats"], tx)
+            resumed = ckpt.restore_state(template)
+    resumed_in_finetune = False
+    if resumed is not None:
+        state = resumed["state"]
+        saved_epoch = int(resumed.get("epoch", 0))
+        resumed_in_finetune = freeze > 0 and saved_epoch >= freeze
+        start_epoch = saved_epoch
+        start_step = int(resumed.get("step", 0))
+        best_f1 = float(resumed.get("best_f1", 0.0))
+        if start_step >= steps_per_epoch:  # saved at the epoch's last batch
+            start_epoch, start_step = start_epoch + 1, 0
+        print(f"Auto-resumed full train state at epoch {start_epoch} "
+              f"step {start_step} (best F1 {best_f1:.4f})")
+    else:
+        state = TrainState.create(
+            variables["params"], variables["batch_stats"], build_tx(0))
 
     train_step = jax.jit(make_det_train_step(model))
     eval_step = jax.jit(make_det_eval_step(model))
 
-    ckpt = CheckpointManager(args.save_dir, every=args.checkpoint_every)
     log = CSVLogger(Path(args.save_dir) / "training_log.csv", DET_COLUMNS,
-                    resume=bool(args.resume))
+                    resume=bool(args.resume) or resumed is not None)
 
-    best_f1 = 0.0
-    for epoch in range(args.epochs):
-        if freeze > 0 and epoch == freeze:
+    for epoch in range(start_epoch, args.epochs):
+        # At the unfreeze boundary, rebuild the optimizer — unless this
+        # process resumed a state whose optimizer is ALREADY the finetune
+        # one (saved at or after the boundary).
+        if freeze > 0 and epoch == freeze and not (
+                resumed_in_finetune and epoch == start_epoch):
             state = state.replace_tx(
                 det_finetune_phase_optimizer(
                     args.lr, steps_per_epoch * (args.epochs - freeze)
@@ -172,31 +224,42 @@ def main(argv=None):
                   f"(backbone {args.lr * 0.05:.6f}, head {args.lr * 0.5:.6f})")
 
         t0 = time.time()
-        total_loss, steps = 0.0, 0
+        skip = start_step if epoch == start_epoch else 0
+        total_loss, steps, counted = 0.0, skip, 0
         pending = None  # lag the loss fetch one step so the device never
         #                 idles on the host's metric round-trip
         for dev_batch in device_prefetch(
             iterate(train_ds, args.batch_size, shuffle=True,
-                    seed=42, epoch=epoch, drop_last=True), mesh):
+                    seed=42, epoch=epoch, drop_last=True,
+                    start_batch=skip), mesh):
             state, metrics = train_step(state, dev_batch)
             if pending is not None:
                 total_loss += float(pending["loss"])
             pending = metrics
             steps += 1
+            counted += 1
             if args.log_every and steps % args.log_every == 0:
-                rate = steps / max(time.time() - t0, 1e-9)
+                rate = counted / max(time.time() - t0, 1e-9)
                 print(f"  step {steps}/{steps_per_epoch} | "
-                      f"loss {total_loss / steps:.4f} | {rate:.2f} it/s",
+                      f"loss {total_loss / counted:.4f} | {rate:.2f} it/s",
                       flush=True)
             if args.save_every_steps and steps % args.save_every_steps == 0:
-                ckpt.save_step(epoch, steps, state.params, state.batch_stats,
-                               {"dcn_mode": args.dcn_mode,
-                                "dcn": not args.no_dcn})
+                extra = {"dcn_mode": args.dcn_mode, "dcn": not args.no_dcn}
+                if args.auto_resume:
+                    ckpt.save_state(epoch, steps, state,
+                                    {"best_f1": best_f1, **extra})
+                else:
+                    ckpt.save_step(epoch, steps, state.params,
+                                   state.batch_stats, extra)
+            if args.crash_after_steps and steps == args.crash_after_steps:
+                print(f"  [fault injection] crashing after step {steps}",
+                      flush=True)
+                os._exit(17)
             if args.max_steps_per_epoch and steps >= args.max_steps_per_epoch:
                 break
         if pending is not None:
             total_loss += float(pending["loss"])
-        train_loss = total_loss / max(steps, 1)
+        train_loss = total_loss / max(counted, 1)
 
         val = evaluate(model, state, val_ds, args.batch_size, mesh, eval_step)
         phase = "freeze" if epoch < freeze else "finetune"
@@ -224,6 +287,11 @@ def main(argv=None):
                             "dcn_mode": args.dcn_mode, "dcn": not args.no_dcn})
             print(f"  -> saved best model (F1 {best_f1:.4f})")
         ckpt.maybe_save_periodic(epoch, state.params, state.batch_stats, best_f1)
+        if args.auto_resume:  # epoch boundary: resume at (epoch+1, step 0)
+            ckpt.save_state(epoch + 1, 0, state,
+                            {"best_f1": float(best_f1),
+                             "dcn_mode": args.dcn_mode,
+                             "dcn": not args.no_dcn})
 
     print(f"Training done. Best F1 {best_f1:.4f}")
     if test_ds is not None:

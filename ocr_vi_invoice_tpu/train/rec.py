@@ -12,6 +12,7 @@ to ``weights/rec2_aug``, ``--resume`` loads weights only.
 from __future__ import annotations
 
 import argparse
+import os
 import time
 from pathlib import Path
 
@@ -101,6 +102,11 @@ def main(argv=None):
                          "where the host core can't feed RecAugment")
     ap.add_argument("--save_dir", type=str, default="weights/rec2")
     ap.add_argument("--resume", type=str, default=None)
+    ap.add_argument("--auto_resume", action="store_true",
+                    help="continue from <save_dir>/last_state (FULL train "
+                         "state incl. optimizer/schedule and epoch/step) if "
+                         "present; --save_every_steps then rolls last_state. "
+                         "Elastic recovery — pair with train.supervisor")
     ap.add_argument("--checkpoint_every", type=int, default=5)
     ap.add_argument("--max_steps_per_epoch", type=int, default=0)
     ap.add_argument("--log_every", type=int, default=100,
@@ -111,6 +117,10 @@ def main(argv=None):
     ap.add_argument("--n_devices", type=int, default=0,
                     help="mesh over the first N devices (0 = all); used by "
                          "the multi-vs-single-device equivalence test")
+    ap.add_argument("--crash_after_steps", type=int, default=0,
+                    help="fault injection: hard-exit(17) after step N of "
+                         "this process (post-checkpoint), to test the "
+                         "auto_resume/supervisor recovery path")
     args = ap.parse_args(argv)
 
     if (args.augment or args.device_augment) and args.save_dir == "weights/rec2":
@@ -155,49 +165,77 @@ def main(argv=None):
     tx = adamw_onecycle(args.lr, steps_per_epoch * args.epochs)
     state = TrainState.create(variables["params"], variables["batch_stats"], tx)
 
+    ckpt = CheckpointManager(args.save_dir, every=args.checkpoint_every)
+
+    start_epoch, start_step, best_acc = 0, 0, 0.0
+    resumed = None
+    if args.auto_resume:
+        resumed = ckpt.restore_state(state)
+    if resumed is not None:
+        state = resumed["state"]
+        start_epoch = int(resumed.get("epoch", 0))
+        start_step = int(resumed.get("step", 0))
+        best_acc = float(resumed.get("best_acc", 0.0))
+        if start_step >= steps_per_epoch:  # saved at the epoch's last batch
+            start_epoch, start_step = start_epoch + 1, 0
+        print(f"Auto-resumed full train state at epoch {start_epoch} "
+              f"step {start_step} (best acc {best_acc:.4f})")
+
     train_step = jax.jit(make_rec_train_step(
         model, args.lambda_sgm, device_augment=args.device_augment))
     eval_step = jax.jit(make_rec_eval_step(model))
 
-    ckpt = CheckpointManager(args.save_dir, every=args.checkpoint_every)
     log = CSVLogger(Path(args.save_dir) / "training_log.csv", REC_COLUMNS,
-                    resume=bool(args.resume))
+                    resume=bool(args.resume) or resumed is not None)
 
-    def _device_batches(epoch):
+    def _device_batches(epoch, skip=0):
         # strip host-only fields before the device upload
         def gen():
             for batch in iterate(train_ds, args.batch_size, shuffle=True,
-                                 seed=42, epoch=epoch, drop_last=True):
+                                 seed=42, epoch=epoch, drop_last=True,
+                                 start_batch=skip):
                 batch.pop("text", None)
                 yield batch
         return device_prefetch(gen(), mesh)
 
-    best_acc = 0.0
-    step_rng = jax.random.PRNGKey(7)
-    for epoch in range(args.epochs):
+    base_rng = jax.random.PRNGKey(7)
+    for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
-        total_loss, steps = 0.0, 0
+        skip = start_step if epoch == start_epoch else 0
+        total_loss, steps, counted = 0.0, skip, 0
         pending = None  # lag the loss fetch one step (see train/det.py)
-        for dev_batch in _device_batches(epoch):
-            step_rng, sub = jax.random.split(step_rng)
+        for dev_batch in _device_batches(epoch, skip):
+            # fold_in on the global step: deterministic across restarts
+            sub = jax.random.fold_in(base_rng, epoch * steps_per_epoch + steps)
             state, metrics = train_step(state, dev_batch, sub)
             if pending is not None:
                 total_loss += float(pending["loss"])
             pending = metrics
             steps += 1
+            counted += 1
             if args.log_every and steps % args.log_every == 0:
-                rate = steps / max(time.time() - t0, 1e-9)
+                rate = counted / max(time.time() - t0, 1e-9)
                 print(f"  step {steps}/{steps_per_epoch} | "
-                      f"loss {total_loss / steps:.4f} | {rate:.2f} it/s",
+                      f"loss {total_loss / counted:.4f} | {rate:.2f} it/s",
                       flush=True)
             if args.save_every_steps and steps % args.save_every_steps == 0:
-                ckpt.save_step(epoch, steps, state.params, state.batch_stats,
-                               {"variant": args.variant})
+                if args.auto_resume:
+                    ckpt.save_state(epoch, steps, state,
+                                    {"best_acc": best_acc,
+                                     "variant": args.variant})
+                else:
+                    ckpt.save_step(epoch, steps, state.params,
+                                   state.batch_stats,
+                                   {"variant": args.variant})
+            if args.crash_after_steps and steps == args.crash_after_steps:
+                print(f"  [fault injection] crashing after step {steps}",
+                      flush=True)
+                os._exit(17)
             if args.max_steps_per_epoch and steps >= args.max_steps_per_epoch:
                 break
         if pending is not None:
             total_loss += float(pending["loss"])
-        train_loss = total_loss / max(steps, 1)
+        train_loss = total_loss / max(counted, 1)
 
         val = evaluate(state, val_ds, args.batch_size, mesh, eval_step, tokenizer)
         print(
@@ -219,6 +257,10 @@ def main(argv=None):
             print(f"  -> saved best model (Acc {best_acc:.4f})")
         ckpt.maybe_save_periodic(epoch, state.params, state.batch_stats, best_acc,
                                  {"variant": args.variant})
+        if args.auto_resume:  # epoch boundary: resume at (epoch+1, step 0)
+            ckpt.save_state(epoch + 1, 0, state,
+                            {"best_acc": float(best_acc),
+                             "variant": args.variant})
 
     if test_ds is not None:
         test = evaluate(state, test_ds, args.batch_size, mesh, eval_step, tokenizer)

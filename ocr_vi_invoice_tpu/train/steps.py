@@ -49,9 +49,20 @@ def prep_det_batch(batch: Dict[str, jnp.ndarray],
         x = img.astype(jnp.float32) / 255.0
         out["image"] = ((x - _IMAGENET_MEAN) / _IMAGENET_STD).astype(
             compute_dtype)
+    W = img.shape[-2]
     for k in ("gt", "mask", "thresh_map", "thresh_mask"):
         if k in batch and batch[k].dtype == jnp.uint8:
-            out[k] = batch[k].astype(jnp.float32) / 255.0
+            m = batch[k]
+            if m.shape[-2] * 8 == W:  # bit-packed binary map (dataset
+                #                        bitpack=True): unpack on device
+                bits = jnp.right_shift(
+                    m[..., None], jnp.arange(7, -1, -1, dtype=jnp.uint8)
+                ) & jnp.uint8(1)  # (B, H, W/8, 1, 8), big-endian order
+                m = bits.transpose(0, 1, 2, 4, 3).reshape(
+                    m.shape[0], m.shape[1], W, 1)
+                out[k] = m.astype(jnp.float32)
+            else:
+                out[k] = m.astype(jnp.float32) / 255.0
     return out
 
 

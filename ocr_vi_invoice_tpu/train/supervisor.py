@@ -1,0 +1,114 @@
+"""Training supervisor: restart-on-failure elastic recovery.
+
+The reference has no elasticity (SURVEY.md §5 — its failure handling is
+NaN-skip and corrupt-sample blanking); TPU fleets need more: v5e VMs are
+preemptible, and long runs can die to host OOM (this dev harness's device
+relay retains ~every uploaded byte in host RSS — measured ~3.5 MB leaked
+per 3.7 MB ``device_put``, which OOM-killed a 960px det run at 130 GB
+after ~4,800 steps). The supervisor turns any such death into a bounded
+hiccup:
+
+  python -m ocr_vi_invoice_tpu.train.supervisor \
+      --rss_limit_gb 60 --max_restarts 50 -- \
+      python -m ocr_vi_invoice_tpu.train.det --save_every_steps 500 ...
+
+* appends ``--auto_resume`` to the child so each (re)start continues from
+  the rolling ``last_state`` checkpoint (FULL train state: optimizer
+  moments + OneCycle position + epoch/step — `train/checkpoint.py`);
+* restarts the child on any nonzero exit (crash, OOM kill, preemption);
+* proactively restarts BEFORE the OOM killer fires: when the child's RSS
+  crosses ``--rss_limit_gb`` it gets SIGTERM (at most ``save_every_steps``
+  steps of progress are lost, same as a real preemption);
+* stops on clean exit (rc 0) or after ``--max_restarts``.
+
+Kills are by exact PID only (never by name/pattern).
+"""
+
+from __future__ import annotations
+
+import argparse
+import subprocess
+import sys
+import time
+
+
+def child_rss_gb(pid: int) -> float:
+    try:
+        with open(f"/proc/{pid}/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / (1024 * 1024)
+    except OSError:
+        pass
+    return 0.0
+
+
+def run_supervised(cmd, rss_limit_gb: float = 0.0, max_restarts: int = 50,
+                   poll_secs: float = 5.0, term_grace_secs: float = 120.0,
+                   log=print) -> int:
+    """Run ``cmd`` (argv list), restarting per the policy above.
+
+    Returns the final exit code (0 on success)."""
+    if "--auto_resume" not in cmd:
+        cmd = list(cmd) + ["--auto_resume"]
+    restarts = 0
+    while True:
+        log(f"[supervisor] start (attempt {restarts + 1}): {' '.join(cmd)}",
+            flush=True)
+        proc = subprocess.Popen(cmd)
+        rss_kill = False
+        while True:
+            rc = proc.poll()
+            if rc is not None:
+                break
+            rss = child_rss_gb(proc.pid)
+            if rss_limit_gb and rss >= rss_limit_gb:
+                log(f"[supervisor] RSS {rss:.1f} GB >= limit "
+                    f"{rss_limit_gb:.1f} GB — recycling child "
+                    f"(pid {proc.pid})", flush=True)
+                rss_kill = True
+                proc.terminate()  # exact-PID SIGTERM
+                try:
+                    rc = proc.wait(timeout=term_grace_secs)
+                except subprocess.TimeoutExpired:
+                    proc.kill()
+                    rc = proc.wait()
+                break
+            time.sleep(poll_secs)
+        if rc == 0 and not rss_kill:
+            log("[supervisor] child exited cleanly", flush=True)
+            return 0
+        restarts += 1
+        if restarts > max_restarts:
+            log(f"[supervisor] giving up after {max_restarts} restarts "
+                f"(last rc {rc})", flush=True)
+            return rc if rc else 1
+        why = "rss-limit recycle" if rss_kill else f"rc {rc}"
+        log(f"[supervisor] child died ({why}) — restarting", flush=True)
+        time.sleep(2.0)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="Restart-on-failure supervisor for train CLIs",
+        usage="%(prog)s [options] -- <train command...>")
+    ap.add_argument("--rss_limit_gb", type=float, default=0.0,
+                    help="proactively recycle the child when its RSS "
+                         "crosses this (0 = off)")
+    ap.add_argument("--max_restarts", type=int, default=50)
+    ap.add_argument("--poll_secs", type=float, default=5.0)
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if "--" not in argv:
+        ap.error("separate the child command with `--`")
+    split = argv.index("--")
+    args = ap.parse_args(argv[:split])
+    cmd = argv[split + 1:]
+    if not cmd:
+        ap.error("empty child command")
+    sys.exit(run_supervised(cmd, rss_limit_gb=args.rss_limit_gb,
+                            max_restarts=args.max_restarts,
+                            poll_secs=args.poll_secs))
+
+
+if __name__ == "__main__":
+    main()

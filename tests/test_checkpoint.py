@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -59,3 +60,49 @@ def test_load_weights_function(tmp_path):
     m.save_best(0, t["params"], t["bs"], 0.5)
     restored = load_weights(tmp_path / "best_model")
     assert "params" in restored and "batch_stats" in restored
+
+
+def test_full_state_roundtrip(tmp_path):
+    """save_state/restore_state: optimizer moments, schedule position and
+    the step counter survive a process death exactly."""
+    import optax
+
+    from ocr_vi_invoice_tpu.train.steps import TrainState
+
+    t = _tree()
+    tx = optax.chain(optax.clip_by_global_norm(5.0),
+                     optax.adamw(optax.linear_schedule(1e-3, 0.0, 100)))
+    state = TrainState.create(t["params"], t["bs"], tx)
+
+    # take a few real optimizer steps so moments/count are nontrivial
+    grads = jax.tree_util.tree_map(jnp.ones_like, state.params)
+    for _ in range(3):
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        state = state.replace(
+            params=optax.apply_updates(state.params, updates),
+            opt_state=opt_state,
+            step=state.step + 1,
+        )
+
+    m = CheckpointManager(tmp_path, every=5)
+    assert m.restore_state(state) is None  # nothing saved yet
+    m.save_state(epoch=1, step=42, state=state, extra={"best_f1": 0.5})
+    assert m.peek("last_state") == {"epoch": 1, "step": 42, "best_f1": 0.5}
+
+    template = TrainState.create(t["params"], t["bs"], tx)  # fresh process
+    r = m.restore_state(template)
+    assert r["epoch"] == 1 and r["step"] == 42 and r["best_f1"] == 0.5
+    restored = r["state"]
+    assert int(restored.step) == 3
+    for a, b in zip(jax.tree_util.tree_leaves(restored.opt_state),
+                    jax.tree_util.tree_leaves(state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # continuing from restored must match continuing from the original
+    u1, _ = tx.update(grads, restored.opt_state, restored.params)
+    u2, _ = tx.update(grads, state.opt_state, state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(u1), jax.tree_util.tree_leaves(u2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -169,3 +169,39 @@ def test_crop_image_clips():
     box = np.array([[90, 90], [120, 90], [120, 120], [90, 120]], np.float32)
     crop = crop_image(img, box)
     assert crop.shape[0] <= 10 and crop.shape[1] <= 10 and crop.size > 0
+
+
+def test_det_dataset_bitpack_roundtrip(det_dir):
+    """bitpack packs the binary maps 8x smaller; the on-device unpack in
+    prep_det_batch must reproduce the unpacked uint8 maps exactly."""
+    import jax.numpy as jnp
+
+    from ocr_vi_invoice_tpu.train.steps import prep_det_batch
+
+    plain = DetectionDataset(str(det_dir), image_size=160, is_training=True,
+                             uint8_transfer=True)
+    packed = DetectionDataset(str(det_dir), image_size=160, is_training=True,
+                              uint8_transfer=True, bitpack=True)
+    sp, sq = plain[0], packed[0]
+    assert sq["gt"].shape == (160, 20, 1)
+    assert sq["thresh_map"].shape == (160, 160, 1)  # gradient map: unpacked
+
+    batch_p = {k: jnp.asarray(v[None]) for k, v in sp.items()}
+    batch_q = {k: jnp.asarray(v[None]) for k, v in sq.items()}
+    out_p = prep_det_batch(batch_p)
+    out_q = prep_det_batch(batch_q)
+    for k in ("gt", "mask", "thresh_mask"):
+        np.testing.assert_array_equal(
+            np.asarray(out_q[k]), np.asarray(out_p[k] > 0.5).astype(np.float32))
+        assert out_q[k].shape == (1, 160, 160, 1)
+    np.testing.assert_array_equal(np.asarray(out_q["thresh_map"]),
+                                  np.asarray(out_p["thresh_map"]))
+    np.testing.assert_array_equal(np.asarray(out_q["image"]),
+                                  np.asarray(out_p["image"]))
+
+
+def test_det_dataset_bitpack_requires_divisible_size(det_dir):
+    ds = DetectionDataset(str(det_dir), image_size=150, is_training=True,
+                          uint8_transfer=True, bitpack=True)
+    assert not ds.bitpack  # silently disabled: 150 % 8 != 0
+    assert ds[0]["gt"].shape == (150, 150, 1)

@@ -1,0 +1,71 @@
+"""Supervisor: restart-on-failure policy (no device work; fast)."""
+
+import os
+import stat
+import sys
+import textwrap
+
+from ocr_vi_invoice_tpu.train.supervisor import child_rss_gb, run_supervised
+
+
+def _child_script(tmp_path, body: str):
+    p = tmp_path / "child.py"
+    p.write_text(textwrap.dedent(body))
+    return [sys.executable, str(p)]
+
+
+def test_restarts_until_clean_exit(tmp_path):
+    """Crashes twice, then exits 0; supervisor retries and reports success.
+    Also: --auto_resume must be appended to the child command."""
+    marker = tmp_path / "attempts"
+    cmd = _child_script(tmp_path, f"""
+        import pathlib, sys
+        assert "--auto_resume" in sys.argv, "supervisor must add --auto_resume"
+        m = pathlib.Path({str(marker)!r})
+        n = int(m.read_text()) if m.exists() else 0
+        m.write_text(str(n + 1))
+        sys.exit(0 if n >= 2 else 1)
+    """)
+    logs = []
+    rc = run_supervised(cmd, max_restarts=5, poll_secs=0.05,
+                        log=lambda *a, **k: logs.append(a[0]))
+    assert rc == 0
+    assert marker.read_text() == "3"
+    assert any("restarting" in m for m in logs)
+
+
+def test_gives_up_after_max_restarts(tmp_path):
+    cmd = _child_script(tmp_path, """
+        import sys
+        sys.exit(3)
+    """)
+    rc = run_supervised(cmd, max_restarts=2, poll_secs=0.05,
+                        log=lambda *a, **k: None)
+    assert rc == 3
+
+
+def test_rss_limit_recycles_child(tmp_path):
+    """A child that balloons past the limit is recycled (SIGTERM) and,
+    having learned nothing, recycled again until max_restarts."""
+    marker = tmp_path / "attempts"
+    cmd = _child_script(tmp_path, f"""
+        import pathlib, sys, time
+        m = pathlib.Path({str(marker)!r})
+        n = int(m.read_text()) if m.exists() else 0
+        m.write_text(str(n + 1))
+        if n >= 1:
+            sys.exit(0)  # "resumed past the leak" on second attempt
+        ballast = bytearray(2500 * 1024 * 1024)  # ~2.5 GB
+        time.sleep(60)
+    """)
+    # limit must clear the interpreter baseline (this env's sitecustomize
+    # imports jax into every python process: ~0.3 GB before user code runs)
+    rc = run_supervised(cmd, rss_limit_gb=1.2, max_restarts=3,
+                        poll_secs=0.1, log=lambda *a, **k: None)
+    assert rc == 0
+    assert marker.read_text() == "2"
+
+
+def test_child_rss_reader():
+    assert child_rss_gb(os.getpid()) > 0.0
+    assert child_rss_gb(99999999) == 0.0

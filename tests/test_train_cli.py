@@ -192,3 +192,68 @@ def test_rec_train_multidevice_equals_single_device(rec_data, tmp_path):
     for (t8, v8), (t1, v1) in zip(l8, l1):
         _assert_close_or_both_nan(t8, t1, l8, l1)
         _assert_close_or_both_nan(v8, v1, l8, l1)
+
+
+def test_rec_crash_resume_equals_uninterrupted(rec_data, tmp_path):
+    """Elastic recovery end-to-end: a run killed mid-epoch (fault
+    injection) and auto-resumed from the rolling full-state checkpoint
+    must land on BIT-IDENTICAL final weights vs an uninterrupted run.
+
+    Subprocesses (os._exit can't be simulated in-process); 1-device CPU
+    mesh via --n_devices 1 for speed."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+
+    def cmd(save_dir, crash=0):
+        c = [sys.executable, "-m", "ocr_vi_invoice_tpu.train.rec",
+             "--vietocr_dir", str(rec_data / "vietocr"),
+             "--val_annotation", str(rec_data / "val.txt"),
+             "--val_img_dir", str(rec_data / "mcocr"),
+             "--test_annotation", "",
+             "--epochs", "2", "--batch_size", "4",
+             "--img_width", "64", "--variant", "tiny", "--max_label_len", "8",
+             "--n_devices", "1",
+             "--save_dir", str(save_dir),
+             "--auto_resume", "--save_every_steps", "1"]
+        if crash:
+            c += ["--crash_after_steps", str(crash)]
+        return c
+
+    # A: clean 2-epoch run (16 samples / bs 4 = 4 steps per epoch)
+    ra = subprocess.run(cmd(tmp_path / "wA"), env=env, capture_output=True,
+                        text=True, timeout=900)
+    assert ra.returncode == 0, ra.stdout + ra.stderr
+
+    # B: crash after step 3 of epoch 0, then auto-resume to completion
+    rb1 = subprocess.run(cmd(tmp_path / "wB", crash=3), env=env,
+                         capture_output=True, text=True, timeout=900)
+    assert rb1.returncode == 17, rb1.stdout + rb1.stderr
+    assert (tmp_path / "wB" / "last_state").exists()
+    rb2 = subprocess.run(cmd(tmp_path / "wB"), env=env, capture_output=True,
+                         text=True, timeout=900)
+    assert rb2.returncode == 0, rb2.stdout + rb2.stderr
+    assert "Auto-resumed full train state at epoch 0 step 3" in rb2.stdout
+
+    from ocr_vi_invoice_tpu.train.checkpoint import load_weights
+
+    a = load_weights(tmp_path / "wA" / "last_state")
+    b = load_weights(tmp_path / "wB" / "last_state")
+    assert a["epoch"] == b["epoch"] == 2
+    import jax
+
+    la = jax.tree_util.tree_leaves(a["params"])
+    lb = jax.tree_util.tree_leaves(b["params"])
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # CSV epoch rows must agree too (the crashed process wrote none)
+    ca = (tmp_path / "wA" / "training_log.csv").read_text().splitlines()
+    cb = (tmp_path / "wB" / "training_log.csv").read_text().splitlines()
+    assert ca == cb
