@@ -15,12 +15,14 @@ capacity ``max_boxes``:
 Only the final (K, T) id matrix and (K, 4) boxes return to the host,
 where the tokenizer maps ids to strings.
 
-Batched, multi-chip serving: the same program vmapped over a stack of
-same-bucket images and sharded over the mesh's ``data`` axis — each chip
-runs the whole per-image pipeline on its shard of the batch (model vars
-replicated, zero cross-chip communication inside the program, so
-throughput scales linearly over ICI). See ``FusedOCR.batch`` and
-``pipeline.serve --batch_size``.
+Batched, multi-chip serving: detection vmaps over a stack of same-bucket
+images, then every crop slot in the (local) batch is compacted
+valid-first so the chunked recognizer pays for the batch's actual text
+lines, not B x max_boxes capacity. Under a mesh the stack is sharded
+over the ``data`` axis with `shard_map` — each chip runs the whole
+per-image pipeline plus its own compaction on its shard (model vars
+replicated, zero cross-chip communication, so throughput scales linearly
+over ICI). See ``FusedOCR.batch`` and ``pipeline.serve --batch_size``.
 """
 
 from __future__ import annotations
@@ -77,18 +79,21 @@ class FusedOCR:
         # rec over CH-crop tiles inside a fori_loop and skipping tiles past
         # the last valid box (lax.cond — a real XLA conditional on TPU, both
         # branches compiled but only one executed) cuts the dominant rec cost
-        # from K crops to ceil(n/CH)*CH without leaving the device or
-        # breaking static shapes. Under vmap (the batch path) cond lowers to
-        # select and all tiles run — batch serving keeps full-K cost.
+        # from the crop capacity to ceil(n_valid/CH)*CH without leaving the
+        # device or breaking static shapes.
         CH = rec_chunk or 0
         T = rec_w // 4  # SVTRv2 CTC frames: stem /4, width kept thereafter
 
         def rec_ids(rec_vars, crops, valid):
-            if CH <= 0 or K <= CH or K % CH != 0:
+            """crops (N, h, w, 3) with all valid entries at the FRONT
+            (guaranteed by extract_boxes rank order / the batch-path
+            compaction) -> (N, T) greedy ids."""
+            N = crops.shape[0]
+            if CH <= 0 or N <= CH or N % CH != 0:
                 log_probs = rec.apply(rec_vars, crops.astype(self.dtype))
                 return jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
             last = jnp.max(
-                jnp.where(valid, jnp.arange(K, dtype=jnp.int32), -1))
+                jnp.where(valid, jnp.arange(N, dtype=jnp.int32), -1))
 
             def body(c, ids_acc):
                 start = c * CH
@@ -105,9 +110,9 @@ class FusedOCR:
                     ids_acc, ids_c, start, 0)
 
             return jax.lax.fori_loop(
-                0, K // CH, body, jnp.zeros((K, T), jnp.int32))
+                0, N // CH, body, jnp.zeros((N, T), jnp.int32))
 
-        def run(det_vars, rec_vars, image_f32):
+        def per_image(det_vars, image_f32):
             # image_f32: (H, W, 3) float32 0..255, already size-bucketed
             mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
             std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
@@ -119,27 +124,57 @@ class FusedOCR:
                 max_boxes=K,
             )
             crops = crop_resize_batch(image_f32, boxes, valid, rec_h, rec_w)
+            # compute-dtype crops: halves the HBM traffic of the batch
+            # path's compaction gather
+            return boxes, scores, valid, crops.astype(self.dtype)
+
+        def run(det_vars, rec_vars, image_f32):
+            boxes, scores, valid, crops = per_image(det_vars, image_f32)
             ids = rec_ids(rec_vars, crops, valid)
+            return boxes, scores, valid, ids
+
+        def run_batch(det_vars, rec_vars, images_f32):
+            """(B, H, W, 3) stack. Detection vmaps over the stack; then all
+            B*K crop slots are COMPACTED (stable argsort, valid first) so
+            the chunked recognizer pays for the batch's actual text lines,
+            not B×max_boxes capacity — e.g. 8 invoices × ~50 lines runs
+            7 rec tiles of 64 instead of 32. The inverse permutation
+            scatters ids back to per-image slots, so results are
+            position-identical to the uncompacted program."""
+            B = images_f32.shape[0]
+            boxes, scores, valid, crops = jax.vmap(
+                per_image, in_axes=(None, 0))(det_vars, images_f32)
+            N = B * K
+            crops_f = crops.reshape(N, rec_h, rec_w, 3)
+            valid_f = valid.reshape(N)
+            order = jnp.argsort(jnp.logical_not(valid_f), stable=True)
+            ids_sorted = rec_ids(rec_vars, crops_f[order], valid_f[order])
+            inv = jnp.argsort(order)
+            ids = ids_sorted[inv].reshape(B, K, T)
             return boxes, scores, valid, ids
 
         self._run = run  # unjitted; bench.py wraps it in a timing loop
         self._program = jax.jit(run)
         self.mesh = mesh
-        # Batched variant: vmap over the image stack. Every per-image op
-        # is independent, so under a data-axis sharding the SPMD
-        # partitioner emits zero collectives — linear scaling over chips.
-        vmapped = jax.vmap(run, in_axes=(None, None, 0))
+        # Batched serving: each chip runs the whole per-image pipeline on
+        # its shard of the image stack (model vars replicated) — zero
+        # cross-chip communication inside the program, linear scaling over
+        # ICI. shard_map (not plain sharded jit) so the compaction sorts
+        # and the tile-skip lax.cond stay PER-CHIP: a global sort would
+        # all-gather every crop, and vmap-lowered cond would run all tiles.
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
 
-            repl = NamedSharding(mesh, PartitionSpec())
-            data = NamedSharding(mesh, PartitionSpec("data"))
-            self._batch_program = jax.jit(
-                vmapped, in_shardings=(repl, repl, data), out_shardings=data
-            )
+            self._batch_program = jax.jit(shard_map(
+                run_batch, mesh=mesh,
+                in_specs=(P(), P(), P("data")),
+                out_specs=P("data"),
+                check_rep=False,
+            ))
             self._data_size = mesh.shape["data"]
         else:
-            self._batch_program = jax.jit(vmapped)
+            self._batch_program = jax.jit(run_batch)
             self._data_size = 1
 
     def __call__(self, image_rgb: np.ndarray) -> List[Dict]:
