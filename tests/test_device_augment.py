@@ -33,6 +33,7 @@ def _test_images():
     return jnp.asarray(img)
 
 
+@pytest.mark.slow
 def test_shape_range_determinism():
     img = _test_images()
     key = jax.random.PRNGKey(3)
@@ -95,6 +96,7 @@ def test_median3_constant_and_impulse():
     assert abs(float(out[0, 4, 8, 0]) - 0.5) < 1e-6
 
 
+@pytest.mark.slow
 def test_rec_train_step_device_augment():
     """uint8 batch + device_augment step: finite loss, params update."""
     from ocr_vi_invoice_tpu.models.svtrv2 import SVTRv2
