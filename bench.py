@@ -4,7 +4,8 @@ Benches the REAL fused pipeline program (`pipeline/fused.py`): DBNet++
 (ResNet50+DCN, bf16) at 960x960 -> on-device box extraction (ops/cc) ->
 batched crop gather (ops/warp) -> SVTRv2 recognition over the full
 max_boxes=256 crop capacity -> greedy argmax. Weights are the shipped
-trained checkpoints (weights/det, weights/rec2) so data-dependent paths
+trained checkpoints (weights/det960|det, weights/rec2_aug|rec2) so
+data-dependent paths
 (Pallas DCN tap skipping, component sweeps) see trained-magnitude
 offsets, not zeros; the input is a rendered synthetic invoice, not
 noise. Component forwards are reported alongside. Prints ONE JSON line:
@@ -60,13 +61,15 @@ def _random_like_shapes(tree, scale=0.05):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
-def _load_vars(ckpt_dir: Path, fallback_shapes_fn):
-    """(variables, meta) from a shipped checkpoint, else random params."""
-    if ckpt_dir.exists():
-        from ocr_vi_invoice_tpu.train.checkpoint import load_weights
+def _load_vars(ckpt_dirs, fallback_shapes_fn):
+    """(variables, meta) from the first shipped checkpoint that exists
+    (best-first), else random params."""
+    for ckpt_dir in ckpt_dirs:
+        if ckpt_dir.exists():
+            from ocr_vi_invoice_tpu.train.checkpoint import load_weights
 
-        r = load_weights(ckpt_dir)
-        return {"params": r["params"], "batch_stats": r["batch_stats"]}, r
+            r = load_weights(ckpt_dir)
+            return {"params": r["params"], "batch_stats": r["batch_stats"]}, r
     import jax
 
     return _random_like_shapes(jax.eval_shape(fallback_shapes_fn)), {}
@@ -159,7 +162,7 @@ def main():
     det_probe = DBNetPP(dcn=True, dtype=jnp.bfloat16)
     det_x = jnp.zeros((1, DET_SIZE, DET_SIZE, 3), jnp.bfloat16)
     det_vars, det_meta = _load_vars(
-        REPO / "weights/det/best_model",
+        [REPO / "weights/det960/best_model", REPO / "weights/det/best_model"],
         lambda: det_probe.init(key, det_x),
     )
     dcn_mode = inference_dcn_mode(det_meta.get("dcn_mode", "pallas"))
@@ -169,7 +172,7 @@ def main():
     rec_probe = SVTRv2(variant="base", dtype=jnp.bfloat16)
     rec_x = jnp.zeros((REC_BATCH, rec_h, rec_w, 3), jnp.bfloat16)
     rec_vars, rec_meta = _load_vars(
-        REPO / "weights/rec2/best_model",
+        [REPO / "weights/rec2_aug/best_model", REPO / "weights/rec2/best_model"],
         lambda: rec_probe.init(key, rec_x),
     )
     rec = SVTRv2(variant=rec_meta.get("variant", "base"), dtype=jnp.bfloat16)
@@ -198,8 +201,10 @@ def main():
     det_in = ((image / 255.0 - mean) / std)[None].astype(jnp.bfloat16)
     rec_in = jnp.tile(det_in[0, :32, :rec_w][None], (REC_BATCH, 1, 1, 1))
 
-    det_t = _timed(det_loop, det_vars, det_in)
-    rec_t = _timed(rec_loop, rec_vars, rec_in)
+    det_t = _timed(det_loop, det_vars, det_in, n_lo=2, n_hi=20)
+    # rec-32 is ~5 ms: needs a long loop to clear the ~30 ms relay RPC
+    # jitter (r02 briefly reported 0.0 ms from a 12-iteration diff)
+    rec_t = _timed(rec_loop, rec_vars, rec_in, n_lo=4, n_hi=84)
 
     # ---- the FUSED program: det -> boxes -> crops -> rec -> argmax ------ #
     # THE shipped program (pipeline/fused.py FusedOCR._run — incl. its
@@ -238,7 +243,10 @@ def main():
                     "rec_batch32_ms": round(rec_t * 1000, 3),
                     "max_boxes": K,
                     "dcn_mode": dcn_mode,
-                    "weights": "trained" if (REPO / "weights/det/best_model").exists() else "random",
+                    "weights": "trained" if (
+                        (REPO / "weights/det960/best_model").exists()
+                        or (REPO / "weights/det/best_model").exists()
+                    ) else "random",
                 },
             }
         )
