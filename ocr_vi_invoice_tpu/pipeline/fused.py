@@ -15,14 +15,21 @@ capacity ``max_boxes``:
 Only the final (K, T) id matrix and (K, 4) boxes return to the host,
 where the tokenizer maps ids to strings.
 
+Crops never materialize at capacity: the chunked recognizer gathers
+each CH-crop tile from the source image(s) right before running it
+(`ops/warp.crop_resize_from_stack`), so tiles past the last valid box
+pay neither the bilinear crop gather nor recognition.
+
 Batched, multi-chip serving: detection vmaps over a stack of same-bucket
-images, then every crop slot in the (local) batch is compacted
-valid-first so the chunked recognizer pays for the batch's actual text
-lines, not B x max_boxes capacity. Under a mesh the stack is sharded
-over the ``data`` axis with `shard_map` — each chip runs the whole
-per-image pipeline plus its own compaction on its shard (model vars
-replicated, zero cross-chip communication, so throughput scales linearly
-over ICI). See ``FusedOCR.batch`` and ``pipeline.serve --batch_size``.
+images, then every box slot in the (local) batch is compacted
+valid-first — permuting K x 4 box floats plus an image index, NOT
+K x rec_h x rec_w x 3 crop tensors — so the chunked recognizer pays for
+the batch's actual text lines, not B x max_boxes capacity. Under a mesh
+the stack is sharded over the ``data`` axis with `shard_map` — each chip
+runs the whole per-image pipeline plus its own compaction on its shard
+(model vars replicated, zero cross-chip communication, so throughput
+scales linearly over ICI). See ``FusedOCR.batch`` and
+``pipeline.serve --batch_size``.
 """
 
 from __future__ import annotations
@@ -59,7 +66,7 @@ class FusedOCR:
         from ocr_vi_invoice_tpu.models.dbnet import DBNetPP
         from ocr_vi_invoice_tpu.models.svtrv2 import SVTRv2
         from ocr_vi_invoice_tpu.ops.cc import extract_boxes
-        from ocr_vi_invoice_tpu.ops.warp import crop_resize_batch
+        from ocr_vi_invoice_tpu.ops.warp import crop_resize_from_stack
         from ocr_vi_invoice_tpu.data.tokenizer import Tokenizer
 
         self.cfg = cfg or PipelineConfig()
@@ -80,17 +87,27 @@ class FusedOCR:
         # the last valid box (lax.cond — a real XLA conditional on TPU, both
         # branches compiled but only one executed) cuts the dominant rec cost
         # from the crop capacity to ceil(n_valid/CH)*CH without leaving the
-        # device or breaking static shapes.
+        # device or breaking static shapes. The crop gather itself lives
+        # INSIDE the tile, so skipped tiles also skip the bilinear sampling
+        # and no (N, rec_h, rec_w, 3) tensor ever hits HBM.
         CH = rec_chunk or 0
         T = rec_w // 4  # SVTRv2 CTC frames: stem /4, width kept thereafter
 
-        def rec_ids(rec_vars, crops, valid):
-            """crops (N, h, w, 3) with all valid entries at the FRONT
-            (guaranteed by extract_boxes rank order / the batch-path
-            compaction) -> (N, T) greedy ids."""
-            N = crops.shape[0]
+        def rec_ids(rec_vars, images, img_idx, boxes, valid):
+            """images (B, H, W, 3) f32 stack; boxes (N, 4) with all valid
+            entries at the FRONT (guaranteed by extract_boxes rank order /
+            the batch-path compaction); img_idx (N,) source image per box
+            -> (N, T) greedy ids."""
+            N = boxes.shape[0]
+
+            def crops_of(idx_c, box_c, val_c):
+                return crop_resize_from_stack(
+                    images, idx_c, box_c, val_c, rec_h, rec_w
+                ).astype(self.dtype)
+
             if CH <= 0 or N <= CH or N % CH != 0:
-                log_probs = rec.apply(rec_vars, crops.astype(self.dtype))
+                log_probs = rec.apply(
+                    rec_vars, crops_of(img_idx, boxes, valid))
                 return jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
             last = jnp.max(
                 jnp.where(valid, jnp.arange(N, dtype=jnp.int32), -1))
@@ -99,8 +116,11 @@ class FusedOCR:
                 start = c * CH
 
                 def do(_):
-                    crop_c = jax.lax.dynamic_slice_in_dim(crops, start, CH, 0)
-                    lp = rec.apply(rec_vars, crop_c.astype(self.dtype))
+                    box_c = jax.lax.dynamic_slice_in_dim(boxes, start, CH, 0)
+                    idx_c = jax.lax.dynamic_slice_in_dim(
+                        img_idx, start, CH, 0)
+                    val_c = jax.lax.dynamic_slice_in_dim(valid, start, CH, 0)
+                    lp = rec.apply(rec_vars, crops_of(idx_c, box_c, val_c))
                     return jnp.argmax(lp, axis=-1).astype(jnp.int32)
 
                 ids_c = jax.lax.cond(
@@ -119,36 +139,37 @@ class FusedOCR:
             norm = (image_f32 / 255.0 - mean) / std
             prob = det.apply(det_vars, norm[None].astype(self.dtype))["binary"]
             prob = prob[0, :, :, 0]
-            boxes, scores, valid = extract_boxes(
+            return extract_boxes(
                 prob, pp.thresh, pp.box_thresh, pp.unclip_ratio, pp.min_area,
                 max_boxes=K,
             )
-            crops = crop_resize_batch(image_f32, boxes, valid, rec_h, rec_w)
-            # compute-dtype crops: halves the HBM traffic of the batch
-            # path's compaction gather
-            return boxes, scores, valid, crops.astype(self.dtype)
 
         def run(det_vars, rec_vars, image_f32):
-            boxes, scores, valid, crops = per_image(det_vars, image_f32)
-            ids = rec_ids(rec_vars, crops, valid)
+            boxes, scores, valid = per_image(det_vars, image_f32)
+            ids = rec_ids(rec_vars, image_f32[None],
+                          jnp.zeros((K,), jnp.int32), boxes, valid)
             return boxes, scores, valid, ids
 
         def run_batch(det_vars, rec_vars, images_f32):
             """(B, H, W, 3) stack. Detection vmaps over the stack; then all
-            B*K crop slots are COMPACTED (stable argsort, valid first) so
+            B*K box slots are COMPACTED (stable argsort, valid first) so
             the chunked recognizer pays for the batch's actual text lines,
             not B×max_boxes capacity — e.g. 8 invoices × ~50 lines runs
-            7 rec tiles of 64 instead of 32. The inverse permutation
+            7 rec tiles of 64 instead of 32. Only (K, 4) boxes and an
+            image index are permuted; each tile's crops are gathered from
+            the image stack inside the tile. The inverse permutation
             scatters ids back to per-image slots, so results are
             position-identical to the uncompacted program."""
             B = images_f32.shape[0]
-            boxes, scores, valid, crops = jax.vmap(
+            boxes, scores, valid = jax.vmap(
                 per_image, in_axes=(None, 0))(det_vars, images_f32)
             N = B * K
-            crops_f = crops.reshape(N, rec_h, rec_w, 3)
+            boxes_f = boxes.reshape(N, 4)
             valid_f = valid.reshape(N)
             order = jnp.argsort(jnp.logical_not(valid_f), stable=True)
-            ids_sorted = rec_ids(rec_vars, crops_f[order], valid_f[order])
+            img_idx = (order // K).astype(jnp.int32)
+            ids_sorted = rec_ids(rec_vars, images_f32, img_idx,
+                                 boxes_f[order], valid_f[order])
             inv = jnp.argsort(order)
             ids = ids_sorted[inv].reshape(B, K, T)
             return boxes, scores, valid, ids
