@@ -97,24 +97,71 @@ def _bench_input():
         return rng.uniform(0, 255, (DET_SIZE, DET_SIZE, 3)).astype(np.float32)
 
 
-def _timed(fn, *args, n_lo=2, n_hi=12, repeats=3):
-    """Median of repeated long-minus-short loop timings: single pairs can
-    go negative under relay RPC jitter (seen as det_960_ms: 0.0 in r01)."""
+def _measure(fn, args, n, repeats):
+    import jax.numpy as jnp
+
+    ts = []
+    for _ in range(repeats):
+        t0 = time.time()
+        float(fn(*args, jnp.int32(n)))
+        ts.append(time.time() - t0)
+    return ts
+
+
+def _timed(fn, *args, n_lo=2, n_hi=12, repeats=4, max_scale=16):
+    """Loop-differenced per-iteration time, robust to a NOISY shared TPU.
+
+    Estimator: min over repeats of the long-loop wall time minus min over
+    repeats of the short-loop wall time (other tenants' load only ADDS
+    time, so per-length minima approximate the uncontended cost — cf.
+    timeit's min; differencing cancels the fixed dispatch/fetch
+    overhead). If the differenced signal does not dominate the observed
+    jitter (min-to-median spread of the raw measurements), the long trip
+    count is doubled and the measurement repeated, up to ``max_scale``x —
+    in a contention window the relay adds multi-SECOND queue waits that
+    drown a sub-second signal (observed: the same compiled rec program at
+    5.4 and 29.4 ms/iter half an hour apart while a matmul calibration in
+    between hit 191 TFLOP/s ~= v5e peak; det @960 "0.0 ms" when a
+    contended short run made the pair diff negative). Escalation is free
+    on a healthy machine (first round accepts immediately)."""
     import jax.numpy as jnp
 
     float(fn(*args, jnp.int32(n_lo)))  # compile + warm
-    float(fn(*args, jnp.int32(n_hi)))
-    diffs = []
-    for _ in range(repeats):
-        t0 = time.time()
-        float(fn(*args, jnp.int32(n_lo)))
-        t_lo = time.time() - t0
-        t0 = time.time()
-        float(fn(*args, jnp.int32(n_hi)))
-        t_hi = time.time() - t0
-        diffs.append(max(t_hi - t_lo, 1e-9) / (n_hi - n_lo))
-    diffs.sort()
-    return diffs[len(diffs) // 2]
+    scale = 1
+    while True:
+        hi = n_lo + (n_hi - n_lo) * scale
+        float(fn(*args, jnp.int32(hi)))  # warm this trip count
+        lo_ts = _measure(fn, args, n_lo, repeats)
+        hi_ts = _measure(fn, args, hi, repeats)
+        diff = min(hi_ts) - min(lo_ts)
+        jitter = (sorted(lo_ts)[len(lo_ts) // 2] - min(lo_ts)) + (
+            sorted(hi_ts)[len(hi_ts) // 2] - min(hi_ts))
+        if diff > 4 * jitter or scale >= max_scale:
+            return max(diff, 1e-9) / (hi - n_lo)
+        scale *= 2
+
+
+def _calibrate():
+    """Known-cost bf16 matmul, timed with the same loop differencing.
+    Reported in the output JSON so a contended/degraded TPU session is
+    visible in the recorded bench (v5e peak is ~200 TFLOP/s; healthy
+    runs measure ~190)."""
+    import jax
+    import jax.numpy as jnp
+
+    N = 4096
+    x = jax.random.normal(jax.random.PRNGKey(0), (N, N), jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(1), (N, N), jnp.bfloat16)
+
+    @jax.jit
+    def mm_loop(x, w, n):
+        def body(i, c):
+            return (c @ w) * jnp.bfloat16(1e-3)
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.float32))
+
+    t = _timed(mm_loop, x, w, n_lo=10, n_hi=210, repeats=3)
+    return 2 * N**3 / t / 1e12
 
 
 def _arm_watchdog(seconds: int = 1500) -> None:
@@ -227,6 +274,11 @@ def main():
         return jnp.sum(jax.lax.fori_loop(0, n, body, img))
 
     fused_t = _timed(fused_loop, det_vars, rec_vars, image, n_lo=2, n_hi=10)
+    # The fused program CONTAINS the det forward: fused_t < det_t is a
+    # physically impossible reading (residual relay noise), so clamp to
+    # the det time rather than report an absurd headline.
+    fused_t = max(fused_t, det_t)
+    calib_tflops = _calibrate()
 
     invoices_per_sec = 1.0 / fused_t
 
@@ -242,6 +294,7 @@ def main():
                     "det_960_ms": round(det_t * 1000, 3),
                     "rec_batch32_ms": round(rec_t * 1000, 3),
                     "max_boxes": K,
+                    "calib_matmul_tflops": round(calib_tflops, 1),
                     "dcn_mode": dcn_mode,
                     "weights": "trained" if (
                         (REPO / "weights/det960/best_model").exists()
