@@ -108,7 +108,8 @@ def _measure(fn, args, n, repeats):
     return ts
 
 
-def _timed(fn, *args, n_lo=2, n_hi=12, repeats=4, max_scale=16):
+def _timed(fn, *args, n_lo=2, n_hi=12, repeats=3, max_scale=16,
+           budget_s=120):
     """Loop-differenced per-iteration time, robust to a NOISY shared TPU.
 
     Estimator: min over repeats of the long-loop wall time minus min over
@@ -123,11 +124,16 @@ def _timed(fn, *args, n_lo=2, n_hi=12, repeats=4, max_scale=16):
     5.4 and 29.4 ms/iter half an hour apart while a matmul calibration in
     between hit 191 TFLOP/s ~= v5e peak; det @960 "0.0 ms" when a
     contended short run made the pair diff negative). Escalation is free
-    on a healthy machine (first round accepts immediately)."""
+    on a healthy machine (first round accepts immediately) and is bounded
+    by ``budget_s`` wall-clock so the whole bench always finishes inside
+    its watchdog even on a near-stalled relay — on budget exhaustion the
+    round with the best signal-to-jitter ratio wins, best-effort."""
     import jax.numpy as jnp
 
     float(fn(*args, jnp.int32(n_lo)))  # compile + warm
+    start = time.time()
     scale = 1
+    best_ratio, best_est = -1.0, 1e-9
     while True:
         hi = n_lo + (n_hi - n_lo) * scale
         float(fn(*args, jnp.int32(hi)))  # warm this trip count
@@ -136,8 +142,14 @@ def _timed(fn, *args, n_lo=2, n_hi=12, repeats=4, max_scale=16):
         diff = min(hi_ts) - min(lo_ts)
         jitter = (sorted(lo_ts)[len(lo_ts) // 2] - min(lo_ts)) + (
             sorted(hi_ts)[len(hi_ts) // 2] - min(hi_ts))
-        if diff > 4 * jitter or scale >= max_scale:
-            return max(diff, 1e-9) / (hi - n_lo)
+        est = max(diff, 1e-9) / (hi - n_lo)
+        ratio = diff / max(jitter, 1e-12)
+        if ratio > best_ratio:
+            best_ratio, best_est = ratio, est
+        if diff > 4 * jitter:
+            return est
+        if scale >= max_scale or time.time() - start > budget_s:
+            return best_est
         scale *= 2
 
 
@@ -160,7 +172,7 @@ def _calibrate():
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.float32))
 
-    t = _timed(mm_loop, x, w, n_lo=10, n_hi=210, repeats=3)
+    t = _timed(mm_loop, x, w, n_lo=10, n_hi=210, repeats=3, budget_s=60)
     return 2 * N**3 / t / 1e12
 
 
@@ -273,7 +285,8 @@ def main():
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, img))
 
-    fused_t = _timed(fused_loop, det_vars, rec_vars, image, n_lo=2, n_hi=10)
+    fused_t = _timed(fused_loop, det_vars, rec_vars, image, n_lo=2, n_hi=10,
+                     budget_s=240)
     # The fused program CONTAINS the det forward: fused_t < det_t is a
     # physically impossible reading (residual relay noise), so clamp to
     # the det time rather than report an absurd headline.
