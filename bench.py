@@ -236,6 +236,15 @@ def main():
     )
     rec = SVTRv2(variant=rec_meta.get("variant", "base"), dtype=jnp.bfloat16)
 
+    # Serve-path precision: big kernels pre-cast to bf16 once (what the
+    # pipelines do at construction). Passing raw f32 checkpoints as jit
+    # ARGUMENTS re-casts ~190 MB of params inside every call: measured
+    # 270 ms/iter vs 44 ms for the same fused program on v5e.
+    from ocr_vi_invoice_tpu.utils.precision import cast_inference_params
+
+    det_vars = cast_inference_params(det_vars, jnp.bfloat16)
+    rec_vars = cast_inference_params(rec_vars, jnp.bfloat16)
+
     image = jnp.asarray(_bench_input())
 
     # ---- component forwards -------------------------------------------- #

@@ -68,14 +68,18 @@ class FusedOCR:
         from ocr_vi_invoice_tpu.ops.cc import extract_boxes
         from ocr_vi_invoice_tpu.ops.warp import crop_resize_from_stack
         from ocr_vi_invoice_tpu.data.tokenizer import Tokenizer
+        from ocr_vi_invoice_tpu.utils.precision import cast_inference_params
 
         self.cfg = cfg or PipelineConfig()
         self.dtype = dtype or jnp.bfloat16
         self.tokenizer = Tokenizer()
         det = DBNetPP(dcn=True, dcn_mode=dcn_mode, dtype=self.dtype)
         rec = SVTRv2(variant=rec_variant, dtype=self.dtype)
-        self.det_vars = det_vars
-        self.rec_vars = rec_vars
+        # Pre-cast the big kernels to the compute dtype ONCE (bit-identical
+        # to flax's per-apply promote_dtype cast; measured 270 -> 44 ms/call
+        # on v5e with f32 checkpoints — see utils/precision.py).
+        self.det_vars = cast_inference_params(det_vars, self.dtype)
+        self.rec_vars = cast_inference_params(rec_vars, self.dtype)
         pp = self.cfg.postprocess
         K = self.cfg.max_boxes
         rec_h, rec_w = self.cfg.rec_img_size

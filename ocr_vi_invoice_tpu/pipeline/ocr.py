@@ -97,6 +97,12 @@ class OCRPipeline:
                                 dtype=self.dtype),
             rec_x,
         )
+        # Pre-cast big kernels to the compute dtype once instead of inside
+        # every jitted call (bit-identical — see utils/precision.py).
+        from ocr_vi_invoice_tpu.utils.precision import cast_inference_params
+
+        self.det_vars = cast_inference_params(self.det_vars, self.dtype)
+        self.rec_vars = cast_inference_params(self.rec_vars, self.dtype)
 
         self._det_fwd = jax.jit(lambda v, x: self.det.apply(v, x)["binary"])
         self._rec_fwd = jax.jit(

@@ -85,10 +85,14 @@ def _u2net_mask(image_rgb: np.ndarray, weights_path: Optional[str]) -> Optional[
             restored = load_weights(path)
             variant = restored.get("variant", "u2netp")
             model = U2Net(variant=variant, dtype=jnp.bfloat16)
-            _state["vars"] = {
+            from ocr_vi_invoice_tpu.utils.precision import (
+                cast_inference_params,
+            )
+
+            _state["vars"] = cast_inference_params({
                 "params": restored["params"],
                 "batch_stats": restored["batch_stats"],
-            }
+            }, jnp.bfloat16)
             _state["fwd"] = jax.jit(
                 lambda v, x: model.apply(v, x)[0]
             )

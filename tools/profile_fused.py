@@ -66,6 +66,11 @@ def main():
         lambda: rec_probe.init(key, rec_x),
     )
 
+    from ocr_vi_invoice_tpu.utils.precision import cast_inference_params
+
+    det_vars = cast_inference_params(det_vars, jnp.bfloat16)
+    rec_vars = cast_inference_params(rec_vars, jnp.bfloat16)
+
     image = jnp.asarray(bench._bench_input())
     mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
     std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
