@@ -269,11 +269,6 @@ def main():
     det_in = ((image / 255.0 - mean) / std)[None].astype(jnp.bfloat16)
     rec_in = jnp.tile(det_in[0, :32, :rec_w][None], (REC_BATCH, 1, 1, 1))
 
-    det_t = _timed(det_loop, det_vars, det_in, n_lo=2, n_hi=20)
-    # rec-32 is ~5 ms: needs a long loop to clear the ~30 ms relay RPC
-    # jitter (r02 briefly reported 0.0 ms from a 12-iteration diff)
-    rec_t = _timed(rec_loop, rec_vars, rec_in, n_lo=4, n_hi=84)
-
     # ---- the FUSED program: det -> boxes -> crops -> rec -> argmax ------ #
     # THE shipped program (pipeline/fused.py FusedOCR._run — incl. its
     # chunked-rec tile skipping), wrapped in a carried loop so the relay's
@@ -294,8 +289,22 @@ def main():
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, img))
 
-    fused_t = _timed(fused_loop, det_vars, rec_vars, image, n_lo=2, n_hi=10,
-                     budget_s=240)
+    # Two measurement passes, minutes apart, min per quantity: the shared
+    # chip shows minutes-long windows of 3-6x slowdown from other tenants
+    # (the matmul calibration reads ~190 TFLOP/s in the SAME bench run
+    # whose fused measurement lands in a slow window). Min over attempts
+    # spread across the run is the only estimator that survives this.
+    det_t = rec_t = fused_t = float("inf")
+    for budgets in ((90, 90, 150), (45, 45, 90)):
+        det_t = min(det_t, _timed(
+            det_loop, det_vars, det_in, n_lo=2, n_hi=20, budget_s=budgets[0]))
+        # rec-32 is ~5 ms: needs a long loop to clear the ~30 ms relay RPC
+        # jitter (r02 briefly reported 0.0 ms from a 12-iteration diff)
+        rec_t = min(rec_t, _timed(
+            rec_loop, rec_vars, rec_in, n_lo=4, n_hi=84, budget_s=budgets[1]))
+        fused_t = min(fused_t, _timed(
+            fused_loop, det_vars, rec_vars, image, n_lo=2, n_hi=10,
+            budget_s=budgets[2]))
     # The fused program CONTAINS the det forward: fused_t < det_t is a
     # physically impossible reading (residual relay noise), so clamp to
     # the det time rather than report an absurd headline.
