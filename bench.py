@@ -295,7 +295,7 @@ def main():
     # whose fused measurement lands in a slow window). Min over attempts
     # spread across the run is the only estimator that survives this.
     det_t = rec_t = fused_t = float("inf")
-    for budgets in ((90, 90, 150), (45, 45, 90)):
+    for budgets in ((90, 90, 120), (45, 45, 75)):
         det_t = min(det_t, _timed(
             det_loop, det_vars, det_in, n_lo=2, n_hi=20, budget_s=budgets[0]))
         # rec-32 is ~5 ms: needs a long loop to clear the ~30 ms relay RPC
@@ -303,8 +303,14 @@ def main():
         rec_t = min(rec_t, _timed(
             rec_loop, rec_vars, rec_in, n_lo=4, n_hi=84, budget_s=budgets[1]))
         fused_t = min(fused_t, _timed(
-            fused_loop, det_vars, rec_vars, image, n_lo=2, n_hi=10,
+            fused_loop, det_vars, rec_vars, image, n_lo=2, n_hi=18,
             budget_s=budgets[2]))
+    # A third, delayed fused attempt: the headline number must not be
+    # hostage to one multi-minute contention window (observed: both fused
+    # passes of a run landing 3.5x high while det/rec/calib in the SAME
+    # run read clean — recorded 165 ms vs 47 ms re-measured later).
+    fused_t = min(fused_t, _timed(
+        fused_loop, det_vars, rec_vars, image, n_lo=2, n_hi=18, budget_s=75))
     # The fused program CONTAINS the det forward: fused_t < det_t is a
     # physically impossible reading (residual relay noise), so clamp to
     # the det time rather than report an absurd headline.
