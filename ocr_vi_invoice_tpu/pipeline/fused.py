@@ -179,6 +179,7 @@ class FusedOCR:
             return boxes, scores, valid, ids
 
         self._run = run  # unjitted; bench.py wraps it in a timing loop
+        self._run_batch = run_batch  # unjitted, for the bench batch loop
         self._program = jax.jit(run)
         self.mesh = mesh
         # Batched serving: each chip runs the whole per-image pipeline on

@@ -105,3 +105,34 @@ def test_fused_rec_chunking_matches_unchunked():
     for a, b in zip(rc, rp):
         np.testing.assert_allclose(a["box"], b["box"], atol=1e-3)
         assert a["text"] == b["text"]
+
+
+def test_run_batch_in_fori_loop_compiles():
+    """bench.py wraps `FusedOCR._run_batch` in a carried fori_loop (so the
+    device relay's async dispatch can't fake the timing); keep that
+    pattern compiling."""
+    from ocr_vi_invoice_tpu.models.dbnet import DBNetPP
+    from ocr_vi_invoice_tpu.models.svtrv2 import SVTRv2
+
+    cfg = PipelineConfig(
+        det_image_size=64, rec_batch_size=8, max_boxes=8,
+        postprocess=PostProcessConfig(thresh=0.3, box_thresh=0.4, min_area=4),
+    )
+    det = DBNetPP(dcn=True, dtype=jnp.float32)
+    rec = SVTRv2(variant="tiny", dtype=jnp.float32)
+    det_vars = _zeros(det, jnp.zeros((1, 64, 64, 3)))
+    rec_vars = _zeros(rec, jnp.zeros((1, 32, 256, 3)))
+    fused = FusedOCR(det_vars, rec_vars, cfg, rec_variant="tiny",
+                     dtype=jnp.float32, rec_chunk=None)
+    imgs = jnp.asarray(
+        np.random.RandomState(0).randint(0, 255, (2, 64, 64, 3)), jnp.float32)
+
+    @jax.jit
+    def batch_loop(dv, rv, imgs, n):
+        def body(i, carry):
+            boxes, scores, valid, ids = fused._run_batch(dv, rv, carry)
+            return carry + jnp.sum(boxes) * 1e-12
+        return jnp.sum(jax.lax.fori_loop(0, n, body, imgs))
+
+    out = batch_loop(fused.det_vars, fused.rec_vars, imgs, 2)
+    assert np.isfinite(float(out))
