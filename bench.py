@@ -4,7 +4,7 @@ Benches the REAL fused pipeline program (`pipeline/fused.py`): DBNet++
 (ResNet50+DCN, bf16) at 960x960 -> on-device box extraction (ops/cc) ->
 batched crop gather (ops/warp) -> SVTRv2 recognition over the full
 max_boxes=256 crop capacity -> greedy argmax. Weights are the shipped
-trained checkpoints (weights/det960|det, weights/rec2_aug|rec2) so
+trained checkpoints (newest shipped leg per `checkpoint.shipped_candidates`) so
 data-dependent paths
 (Pallas DCN tap skipping, component sweeps) see trained-magnitude
 offsets, not zeros; the input is a rendered synthetic invoice, not
@@ -41,7 +41,6 @@ BASELINE_INVOICES_PER_SEC = 0.025
 DET_SIZE = 960
 REC_BATCH = 32
 
-REPO = Path(__file__).resolve().parent
 
 
 def _random_like_shapes(tree, scale=0.05):
@@ -221,10 +220,11 @@ def main():
     # mode, upgraded 'local' -> Pallas kernel on TPU (identical semantics).
     det_probe = DBNetPP(dcn=True, dtype=jnp.bfloat16)
     det_x = jnp.zeros((1, DET_SIZE, DET_SIZE, 3), jnp.bfloat16)
+    from ocr_vi_invoice_tpu.train.checkpoint import (
+        shipped_candidates, shipped_checkpoint)
+
     det_vars, det_meta = _load_vars(
-        [REPO / "weights/det960/best_model", REPO / "weights/det/best_model"],
-        lambda: det_probe.init(key, det_x),
-    )
+        shipped_candidates("det"), lambda: det_probe.init(key, det_x))
     dcn_mode = inference_dcn_mode(det_meta.get("dcn_mode", "pallas"))
     det = DBNetPP(dcn=det_meta.get("dcn", True), dcn_mode=dcn_mode,
                   dtype=jnp.bfloat16)
@@ -232,9 +232,7 @@ def main():
     rec_probe = SVTRv2(variant="base", dtype=jnp.bfloat16)
     rec_x = jnp.zeros((REC_BATCH, rec_h, rec_w, 3), jnp.bfloat16)
     rec_vars, rec_meta = _load_vars(
-        [REPO / "weights/rec2_aug/best_model", REPO / "weights/rec2/best_model"],
-        lambda: rec_probe.init(key, rec_x),
-    )
+        shipped_candidates("rec"), lambda: rec_probe.init(key, rec_x))
     rec = SVTRv2(variant=rec_meta.get("variant", "base"), dtype=jnp.bfloat16)
 
     # Serve-path precision: big kernels pre-cast to bf16 once (what the
@@ -373,10 +371,8 @@ def main():
                     "max_boxes": K,
                     "calib_matmul_tflops": round(calib_tflops, 1),
                     "dcn_mode": dcn_mode,
-                    "weights": "trained" if (
-                        (REPO / "weights/det960/best_model").exists()
-                        or (REPO / "weights/det/best_model").exists()
-                    ) else "random",
+                    "weights": ("trained" if shipped_checkpoint("det")
+                                else "random"),
                 },
             }
         )

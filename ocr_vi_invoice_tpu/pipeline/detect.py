@@ -28,7 +28,8 @@ def main(argv=None):
     ap.add_argument("--image", type=str, default=None)
     ap.add_argument("--input_dir", type=str, default=None)
     ap.add_argument("--model", type=str, default=None,
-                    help="detector checkpoint dir (random/zero weights if unset)")
+                    help="detector checkpoint dir (defaults to the newest "
+                         "shipped weights/det* best_model)")
     ap.add_argument("--image_size", type=int, default=960)
     ap.add_argument("--thresh", type=float, default=0.3)
     ap.add_argument("--box_thresh", type=float, default=0.6)
@@ -40,6 +41,11 @@ def main(argv=None):
     ap.add_argument("--save_crops", action="store_true")
     ap.add_argument("--output_dir", type=str, default="outputs/det")
     args = ap.parse_args(argv)
+
+    from ocr_vi_invoice_tpu.train.checkpoint import shipped_checkpoint
+
+    args.model = args.model or shipped_checkpoint("det")
+    print(f"det ckpt: {args.model or 'random weights'}")
 
     cfg = PipelineConfig(det_image_size=args.image_size,
                          preprocess=args.preprocess)

@@ -234,13 +234,20 @@ def main():
     ap.add_argument("--visualize", action="store_true")
     args = ap.parse_args()
 
+    from ocr_vi_invoice_tpu.train.checkpoint import shipped_checkpoint
+
+    det_ckpt = args.det_ckpt or shipped_checkpoint("det")
+    rec_ckpt = args.rec_ckpt or shipped_checkpoint("rec")
+    print(f"det ckpt: {det_ckpt or 'random weights'} | "
+          f"rec ckpt: {rec_ckpt or 'random weights'}")
+
     cfg = PipelineConfig(det_image_size=args.det_size, preprocess=args.preprocess)
     cfg.postprocess.thresh = args.thresh
     cfg.postprocess.box_thresh = args.box_thresh
     cfg.postprocess.unclip_ratio = args.unclip_ratio
     cfg.postprocess.min_area = args.min_area
 
-    pipe = OCRPipeline(args.det_ckpt, args.rec_ckpt, cfg, rec_variant=args.rec_variant)
+    pipe = OCRPipeline(det_ckpt, rec_ckpt, cfg, rec_variant=args.rec_variant)
 
     paths: List[Path] = []
     if args.image:

@@ -79,6 +79,13 @@ def main(argv=None):
                          "axis (must be a multiple of the data-axis size)")
     args = ap.parse_args(argv)
 
+    from ocr_vi_invoice_tpu.train.checkpoint import shipped_checkpoint
+
+    args.det_ckpt = args.det_ckpt or shipped_checkpoint("det")
+    args.rec_ckpt = args.rec_ckpt or shipped_checkpoint("rec")
+    print(f"det ckpt: {args.det_ckpt or 'random weights'} | "
+          f"rec ckpt: {args.rec_ckpt or 'random weights'}")
+
     import jax
     import jax.numpy as jnp
 

@@ -152,6 +152,33 @@ class CheckpointManager:
         tmp.rename(final)
 
 
+# Shipped best_model checkpoints, newest/strongest training leg first.
+# The pipeline CLIs and bench default to the first one that exists, so a
+# user gets the best trained weights without naming a path (the reference
+# equivalent is its hardcoded weights/{det,rec2}/best_model.pth paths,
+# `src/pipeline/pipeline2.py:196-238`).
+_SHIPPED = {
+    "det": ("det960b", "det960", "det"),
+    "rec": ("rec2_aug", "rec2"),
+    "scan": ("u2netp",),
+}
+
+
+def shipped_candidates(kind: str) -> list:
+    """Candidate ``best_model`` dirs for 'det' | 'rec' | 'scan', preferred
+    training leg first (existence not checked)."""
+    root = Path(__file__).resolve().parents[2] / "weights"
+    return [root / d / "best_model" for d in _SHIPPED[kind]]
+
+
+def shipped_checkpoint(kind: str) -> Optional[str]:
+    """Path of the preferred shipped checkpoint for `kind`, or None."""
+    for cand in shipped_candidates(kind):
+        if cand.exists():
+            return str(cand)
+    return None
+
+
 def jnp_like(value, template):
     """Cast a restored (numpy) leaf to the template leaf's dtype."""
     import jax.numpy as jnp

@@ -20,7 +20,8 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-import bench  # noqa: E402  (reuse loaders + timing)
+import bench
+from ocr_vi_invoice_tpu.train.checkpoint import shipped_candidates  # noqa: E402  (reuse loaders + timing)
 
 
 def main():
@@ -46,7 +47,7 @@ def main():
     det_probe = DBNetPP(dcn=True, dtype=jnp.bfloat16)
     det_x = jnp.zeros((1, S, S, 3), jnp.bfloat16)
     det_vars, det_meta = bench._load_vars(
-        [REPO / "weights/det960/best_model", REPO / "weights/det/best_model"],
+        shipped_candidates("det"),
         lambda: det_probe.init(key, det_x),
     )
     det_vars = cast_inference_params(det_vars, jnp.bfloat16)

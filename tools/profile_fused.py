@@ -23,7 +23,8 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-import bench  # noqa: E402  (reuse loaders + timing)
+import bench
+from ocr_vi_invoice_tpu.train.checkpoint import shipped_candidates  # noqa: E402  (reuse loaders + timing)
 
 
 def main():
@@ -50,7 +51,7 @@ def main():
     det_probe = DBNetPP(dcn=True, dtype=jnp.bfloat16)
     det_x = jnp.zeros((1, bench.DET_SIZE, bench.DET_SIZE, 3), jnp.bfloat16)
     det_vars, det_meta = bench._load_vars(
-        [REPO / "weights/det960/best_model", REPO / "weights/det/best_model"],
+        shipped_candidates("det"),
         lambda: det_probe.init(key, det_x),
     )
     dcn_mode = inference_dcn_mode(det_meta.get("dcn_mode", "pallas"))
@@ -62,7 +63,7 @@ def main():
     rec_probe = SVTRv2(variant="base", dtype=jnp.bfloat16)
     rec_x = jnp.zeros((32, rec_h, rec_w, 3), jnp.bfloat16)
     rec_vars, rec_meta = bench._load_vars(
-        [REPO / "weights/rec2_aug/best_model", REPO / "weights/rec2/best_model"],
+        shipped_candidates("rec"),
         lambda: rec_probe.init(key, rec_x),
     )
 
