@@ -35,16 +35,17 @@ def inference_dcn_mode(mode: str) -> str:
     faster and slightly *more* precise); 'local' is the plain-XLA
     fallback, but at inference it loses badly to the Pallas kernel
     (extra HBM round-trips per shift). Checkpoints trained with 'local'
-    therefore serve through 'pallas' on TPU backends; elsewhere (CPU
-    tests) the recorded mode is kept. 'gather' has different numerics at
-    unbounded offsets, so it is never remapped.
+    therefore serve through 'pallas' on TPU backends, and 'pallas'
+    checkpoints serve through 'local' everywhere else (the kernel has no
+    CPU lowering, and both compute the same decomposition). 'gather' has
+    different numerics at unbounded offsets, so it is never remapped.
     """
-    if mode == "local":
+    if mode in ("local", "pallas"):
         try:
-            if jax.default_backend() == "tpu":
-                return "pallas"
+            on_tpu = jax.default_backend() == "tpu"
         except Exception:
-            pass
+            on_tpu = False
+        return "pallas" if on_tpu else "local"
     return mode
 
 

@@ -97,3 +97,16 @@ def test_gradients_flow_to_offsets_and_mask():
         arr = np.asarray(g)
         assert np.isfinite(arr).all()
         assert np.abs(arr).max() > 0
+
+
+def test_inference_dcn_mode_selection():
+    """'local'/'pallas' resolve to the backend's fast equivalent path
+    (pallas on TPU, plain-XLA local elsewhere — the kernel has no CPU
+    lowering); 'gather' is never remapped (different numerics at
+    unbounded offsets)."""
+    from ocr_vi_invoice_tpu.ops.dcn import inference_dcn_mode
+
+    expect = "pallas" if jax.default_backend() == "tpu" else "local"
+    assert inference_dcn_mode("local") == expect
+    assert inference_dcn_mode("pallas") == expect
+    assert inference_dcn_mode("gather") == "gather"

@@ -11,21 +11,21 @@ Measured at calibration time: det 320 -> 26/26 boxes matched, 10/26
 strings identical; det 640 (TPU) -> 29/29 boxes, 22/29 strings.
 """
 
-import os
-
 import numpy as np
 import pytest
 
 import jax.numpy as jnp
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-DET_CKPT = os.path.join(REPO, "weights/det/best_model")
-REC_CKPT = os.path.join(REPO, "weights/rec2/best_model")
+from ocr_vi_invoice_tpu.train.checkpoint import shipped_checkpoint
+
+# Newest shipped training leg (what the pipeline CLIs serve by default).
+DET_CKPT = shipped_checkpoint("det")
+REC_CKPT = shipped_checkpoint("rec")
 
 pytestmark = [
     pytest.mark.slow,
     pytest.mark.skipif(
-        not (os.path.isdir(DET_CKPT) and os.path.isdir(REC_CKPT)),
+        not (DET_CKPT and REC_CKPT),
         reason="trained checkpoints not shipped",
     ),
 ]
@@ -43,6 +43,7 @@ def _iou(a, b):
 
 def test_fused_matches_host_on_trained_checkpoints():
     from ocr_vi_invoice_tpu.generator.generator import SyntheticInvoiceGenerator
+    from ocr_vi_invoice_tpu.ops.dcn import inference_dcn_mode
     from ocr_vi_invoice_tpu.pipeline.fused import FusedOCR
     from ocr_vi_invoice_tpu.pipeline.ocr import OCRPipeline
     from ocr_vi_invoice_tpu.pipeline.postprocess import resize_image_for_det
@@ -72,7 +73,7 @@ def test_fused_matches_host_on_trained_checkpoints():
         {"params": det_r["params"], "batch_stats": det_r["batch_stats"]},
         {"params": rec_r["params"], "batch_stats": rec_r["batch_stats"]},
         cfg, rec_variant=rec_r.get("variant", "base"), dtype=jnp.float32,
-        dcn_mode=det_r.get("dcn_mode", "gather"),
+        dcn_mode=inference_dcn_mode(det_r.get("dcn_mode", "gather")),
     )
     fused_res = fused(canvas.astype(np.float32))
 
