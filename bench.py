@@ -194,8 +194,8 @@ def _arm_watchdog(seconds: int = 1500) -> None:
     signal.alarm(seconds)
 
 
-def main():
-    _arm_watchdog()
+def main(watchdog_s: int = 1500):
+    _arm_watchdog(watchdog_s)
     import jax
     import numpy as np
 
@@ -379,5 +379,31 @@ def main():
     )
 
 
+def _main_with_retry():
+    """The dev TPU relay can drop a request mid-run (observed:
+    FAILED_PRECONDITION on a host fetch during an otherwise healthy
+    session). One retry rides out a transient; a persistent fault still
+    produces ONE parseable JSON line (value 0 + error) instead of a bare
+    traceback, so the driver's bench record never comes back empty. The
+    SIGALRM watchdog separately bounds hangs."""
+    try:
+        main()
+        return
+    except Exception as e:  # noqa: BLE001 — anything device-side
+        print(f"bench attempt 1 failed ({type(e).__name__}: {e}); "
+              "retrying once", flush=True)
+    time.sleep(30)
+    try:
+        # Shorter bound on the retry: the first attempt already spent a
+        # watchdog window, and a relay that failed twice won't recover.
+        main(watchdog_s=900)
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({
+            "metric": "e2e_invoices_per_sec", "value": 0.0,
+            "unit": "invoices/s/chip", "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}",
+        }), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_retry()
