@@ -10,6 +10,7 @@ models/resnet.py:114 whose f32-ness the rule must preserve).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ocr_vi_invoice_tpu.utils.precision import cast_inference_params
 
@@ -36,6 +37,7 @@ def test_cast_rule_selects_only_large_f32_leaves():
     assert variables["params"]["kernel"].dtype == jnp.float32
 
 
+@pytest.mark.slow  # full-model double compile (~45 s); rule itself is fast
 def test_svtrv2_outputs_bit_identical_after_cast():
     from ocr_vi_invoice_tpu.models.svtrv2 import SVTRv2
 
@@ -48,6 +50,7 @@ def test_svtrv2_outputs_bit_identical_after_cast():
     np.testing.assert_array_equal(np.asarray(y_raw), np.asarray(y_cast))
 
 
+@pytest.mark.slow  # full-model double compile (~75 s); rule itself is fast
 def test_dbnet_outputs_bit_identical_after_cast():
     from ocr_vi_invoice_tpu.models.dbnet import DBNetPP
 
