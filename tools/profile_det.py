@@ -102,7 +102,10 @@ def main():
     def bb_loop(v, x, n):
         def body(i, carry):
             feats = bb.apply(v, carry)
-            return carry + jnp.mean(feats[0]).astype(carry.dtype) * jnp.bfloat16(1e-3)
+            # consume EVERY pyramid level: feeding back only c2 lets XLA
+            # dead-code-eliminate stages 2-4 (and all the DCN with them)
+            fb = sum(jnp.mean(f).astype(carry.dtype) for f in feats)
+            return carry + fb * jnp.bfloat16(1e-3)
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.float32))
 
