@@ -189,6 +189,49 @@ def approx_poly_dp(pts: np.ndarray, epsilon: float) -> np.ndarray:
     return approx.reshape(-1, 2).astype(np.float32)
 
 
+def min_area_rect(pts: np.ndarray) -> np.ndarray:
+    """Minimum-area enclosing rectangle of a point set -> its 4 corners,
+    (4, 2) float32 (cv2.boxPoints(cv2.minAreaRect(...)) equivalent,
+    `scanner.py:126-130`). Rotating calipers over the convex hull — the
+    optimal rectangle shares an edge direction with the hull, so only
+    hull-edge angles need checking. Pure numpy; a few dozen points, so no
+    C++ needed."""
+    pts = np.ascontiguousarray(pts, np.float32).reshape(-1, 2)
+    if len(pts) == 0:
+        return np.zeros((4, 2), np.float32)
+    if len(pts) == 1:
+        return np.repeat(pts, 4, axis=0)
+    # Andrew's monotone chain convex hull.
+    P = pts[np.lexsort((pts[:, 1], pts[:, 0]))].astype(np.float64)
+
+    def half(points):
+        out = []
+        for p in points:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    hull = np.asarray(half(P)[:-1] + half(P[::-1])[:-1])
+    if len(hull) < 3:
+        hull = np.unique(P, axis=0)
+    edges = np.roll(hull, -1, axis=0) - hull
+    angles = np.unique(np.mod(np.arctan2(edges[:, 1], edges[:, 0]), np.pi / 2))
+    best, best_area = None, np.inf
+    for a in angles:
+        c, s = np.cos(a), np.sin(a)
+        R = np.array([[c, s], [-s, c]])
+        rot = hull @ R.T
+        lo, hi = rot.min(axis=0), rot.max(axis=0)
+        area = np.prod(hi - lo)
+        if area < best_area:
+            best_area = area
+            corners = np.array([[lo[0], lo[1]], [hi[0], lo[1]],
+                                [hi[0], hi[1]], [lo[0], hi[1]]])
+            best = corners @ R
+    return best.astype(np.float32)
+
+
 def get_perspective_transform(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
     """3x3 homography mapping 4 src points to 4 dst points
     (cv2.getPerspectiveTransform, `scanner.py:50`)."""

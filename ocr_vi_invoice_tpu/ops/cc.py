@@ -95,7 +95,8 @@ def connected_components(mask: jnp.ndarray, num_iters: int = 8) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("max_boxes", "max_runs", "max_overlap",
-                                   "max_union_iters", "max_runs_per_row"))
+                                   "max_union_iters", "max_runs_per_row",
+                                   "min_size", "with_quads"))
 def extract_boxes(
     prob: jnp.ndarray,
     thresh: float = 0.3,
@@ -107,12 +108,30 @@ def extract_boxes(
     max_overlap: int = 8,
     max_union_iters: int = 32,
     max_runs_per_row: int = 64,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """(H, W) probability map -> (boxes (K,4) xyxy, scores (K,), valid (K,)).
+    min_size: float = 0.0,
+    with_quads: bool = False,
+):
+    """(H, W) probability map -> (boxes (K,4) xyxy, scores (K,), valid (K,))
+    — plus unclipped rotated quads (K,4,2) when ``with_quads=True``.
 
     Decision parity with DBPostProcessor: threshold at ``thresh``, score =
     mean probability inside the component, reject score < box_thresh or
     area < min_area, expand by d = A·unclip_ratio/L.
+
+    ``min_size``: shortest-side gate on the component's ROTATED extent
+    (pre-unclip), like standard DBNet post-processing. The reference
+    defines ``min_size=3`` but its ``__call__`` never applies it
+    (`src/det/test.py:52` vs `:64-83` — dead parameter), so the default
+    here is 0 (off) to keep decision parity; pass > 0 to enable.
+
+    ``with_quads``: additionally return (K, 4, 2) rotated quadrilaterals
+    (tl, tr, br, bl in the component frame), the min-area-rect analogue of
+    the reference's polygon outputs for rotated text: per-component
+    orientation from exact second moments of the foreground pixels
+    (closed-form per horizontal run, reduced by the same one-hot MXU
+    contraction), extents from run-endpoint projections, expanded by the
+    same unclip ``d``. The axis-aligned ``boxes`` stay the crop/compare
+    currency (the reference crops axis-aligned too, `test.py:123-130`).
 
     TPU-first formulation: run-length connected components. The per-pixel
     work is only elementwise ops, two prefix sums and two top_k
@@ -232,30 +251,107 @@ def extract_boxes(
     n_seg = max_boxes + 1
     fr = run_valid
     member = comp_id[:, None] == jnp.arange(n_seg, dtype=jnp.int32)[None, :]
-    sums = jnp.stack(
-        [length.astype(jnp.float32), run_psum]
-    ) @ member.astype(jnp.float32)  # (2, S)
+    # HIGHEST precision: the TPU default truncates f32 matmul inputs to
+    # bf16, which perturbs area/score enough to flip borderline
+    # box_thresh/min_area decisions (the one-hot matrix is exact, so full
+    # precision restores segment_sum-level accuracy while staying on MXU).
+    sums = jnp.matmul(
+        jnp.stack([length.astype(jnp.float32), run_psum]),
+        member.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (2, S)
     area, psum = sums[0], sums[1]
     x0f, x1f = x0.astype(jnp.float32), x1.astype(jnp.float32)
     rowf = row.astype(jnp.float32)
     mem_fr = member & fr[:, None]
     NEG = jnp.float32(-jnp.inf)
-    xmin = -jnp.max(jnp.where(mem_fr, -x0f[:, None], NEG), axis=0)
-    xmax = jnp.max(jnp.where(mem_fr, x1f[:, None], NEG), axis=0)
-    ymin = -jnp.max(jnp.where(mem_fr, -rowf[:, None], NEG), axis=0)
-    ymax = jnp.max(jnp.where(mem_fr, rowf[:, None], NEG), axis=0)
+
+    def seg_min(vals_r):
+        return -jnp.max(jnp.where(mem_fr, -vals_r[:, None], NEG), axis=0)
+
+    def seg_max(vals_r):
+        return jnp.max(jnp.where(mem_fr, vals_r[:, None], NEG), axis=0)
+
+    xminF, xmaxF = seg_min(x0f), seg_max(x1f)
+    yminF, ymaxF = seg_min(rowf), seg_max(rowf)
+
+    need_rot = with_quads or min_size > 0
+    if need_rot:
+        # ---- per-component orientation from exact pixel second moments ----
+        # Coordinates are CENTERED at the component's bbox center before
+        # squaring (gathered per run via comp_id) so the f32 contraction
+        # keeps ~7 significant digits at 960² map sizes. Per-run closed
+        # forms over x in [x0, x1]: sum k, sum k², with y constant = row.
+        cmax = max_boxes  # comp_id is clipped to [0, max_boxes]
+        cx_r = (xminF[comp_id] + xmaxF[comp_id]) * 0.5
+        cy_r = (yminF[comp_id] + ymaxF[comp_id]) * 0.5
+        cx_r = jnp.where(run_valid & (comp_id < cmax), cx_r, 0.0)
+        cy_r = jnp.where(run_valid & (comp_id < cmax), cy_r, 0.0)
+        Lf = length.astype(jnp.float32)
+        dx0 = x0f - cx_r
+        dy = rowf - cy_r
+        sx = Lf * dx0 + Lf * (Lf - 1.0) * 0.5
+        sxx = (Lf * dx0 * dx0 + dx0 * Lf * (Lf - 1.0)
+               + (Lf - 1.0) * Lf * (2.0 * Lf - 1.0) / 6.0)
+        sy = Lf * dy
+        syy = Lf * dy * dy
+        sxy = dy * sx
+        msums = jnp.matmul(
+            jnp.stack([sx, sy, sxx, syy, sxy]),
+            member.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (5, S)
+        n_px = jnp.maximum(area, 1.0)
+        mx, my = msums[0] / n_px, msums[1] / n_px
+        cxx = msums[2] / n_px - mx * mx
+        cyy = msums[3] / n_px - my * my
+        cxy = msums[4] / n_px - mx * my
+        theta = 0.5 * jnp.arctan2(2.0 * cxy, cxx - cyy)
+        ct, st = jnp.cos(theta), jnp.sin(theta)
+
+        # ---- rotated extents from run-endpoint projections ----
+        # u/v are monotonic in x within a row, so per-row extremes sit at
+        # run endpoints; endpoint projections cover the whole component.
+        ct_r, st_r = ct[comp_id], st[comp_id]
+        dx1 = x1f - cx_r
+        pu0 = dx0 * ct_r + dy * st_r
+        pu1 = dx1 * ct_r + dy * st_r
+        pv0 = -dx0 * st_r + dy * ct_r
+        pv1 = -dx1 * st_r + dy * ct_r
+        uminF = seg_min(jnp.minimum(pu0, pu1))
+        umaxF = seg_max(jnp.maximum(pu0, pu1))
+        vminF = seg_min(jnp.minimum(pv0, pv1))
+        vmaxF = seg_max(jnp.maximum(pv0, pv1))
 
     area = area[:max_boxes]
     score = psum[:max_boxes] / jnp.maximum(area, 1.0)
-    xmin, xmax = xmin[:max_boxes], xmax[:max_boxes]
-    ymin, ymax = ymin[:max_boxes], ymax[:max_boxes]
+    xmin, xmax = xminF[:max_boxes], xmaxF[:max_boxes]
+    ymin, ymax = yminF[:max_boxes], ymaxF[:max_boxes]
 
-    bw = xmax - xmin + 1.0
-    bh = ymax - ymin + 1.0
-    # DB unclip on the box rectangle: d = A*r/L
-    d = (bw * bh) * unclip_ratio / jnp.maximum(2.0 * (bw + bh), 1e-6)
+    # DB unclip, matching the HOST path's raster semantics (string-level
+    # fused-vs-host parity): the host polygon traces pixel CENTERS, so by
+    # Pick's theorem its shoelace area ~= pixel_count - B/2 - 1 with
+    # boundary B ~= the rect perimeter 2(ew+eh) over pixel-center extents
+    # (exact for solid rectangles: (ew+1)(eh+1) - (ew+eh) - 1 = ew*eh),
+    # and the raster-EDT dilation includes pixels at integer distance
+    # <= d, i.e. the bbox grows by floor(d) per side. Measured on shipped
+    # detector maps: floor(d) here equals the host's in ~88% of
+    # components (vs 0% for the naive inclusive-rect A = bw*bh formula,
+    # which overshoots by 1px on every side).
+    ew = xmax - xmin  # pixel-center extents (degenerate runs give d = 0,
+    eh = ymax - ymin  # exactly like the host's zero-area polygon)
+    a_pick = jnp.maximum(area - (ew + eh) - 1.0, 0.0)
+    d = jnp.floor(a_pick * unclip_ratio / jnp.maximum(2.0 * (ew + eh), 1e-6))
 
     valid = (area >= min_area) & (score >= box_thresh) & (area > 0)
+    if need_rot:
+        umin, umax = uminF[:max_boxes], umaxF[:max_boxes]
+        vmin, vmax = vminF[:max_boxes], vmaxF[:max_boxes]
+        eu = jnp.maximum(umax - umin, 0.0)
+        ev = jnp.maximum(vmax - vmin, 0.0)
+    if min_size > 0:
+        # Shortest side of the rotated extent (pre-unclip), pixel count.
+        valid = valid & (jnp.minimum(eu, ev) + 1.0 >= min_size)
     boxes = jnp.stack(
         [
             jnp.clip(xmin - d, 0, W - 1),
@@ -267,4 +363,26 @@ def extract_boxes(
     )
     boxes = jnp.where(valid[:, None], boxes, 0.0)
     score = jnp.where(valid, score, 0.0)
-    return boxes, score, valid
+    if not with_quads:
+        return boxes, score, valid
+
+    # ---- rotated quad corners (tl, tr, br, bl in the component frame) ----
+    # Same unclip distance applied along the principal axes; the quad is
+    # the min-area-rect analogue of the host's unclipped polygon.
+    ctk, stk = ct[:max_boxes], st[:max_boxes]
+    bcx = (xmin + xmax) * 0.5
+    bcy = (ymin + ymax) * 0.5
+    hu = eu * 0.5 + d
+    hv = ev * 0.5 + d
+    ccx = bcx + ctk * (umin + umax) * 0.5 - stk * (vmin + vmax) * 0.5
+    ccy = bcy + stk * (umin + umax) * 0.5 + ctk * (vmin + vmax) * 0.5
+    signs = jnp.asarray(
+        [[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0], [-1.0, 1.0]], jnp.float32)
+    qx = (ccx[:, None] + signs[None, :, 0] * (ctk * hu)[:, None]
+          - signs[None, :, 1] * (stk * hv)[:, None])
+    qy = (ccy[:, None] + signs[None, :, 0] * (stk * hu)[:, None]
+          + signs[None, :, 1] * (ctk * hv)[:, None])
+    quads = jnp.stack(
+        [jnp.clip(qx, 0, W - 1), jnp.clip(qy, 0, H - 1)], axis=-1)
+    quads = jnp.where(valid[:, None, None], quads, 0.0)
+    return boxes, score, valid, quads

@@ -67,18 +67,27 @@ def crop_resize_from_stack(
     rows = images.reshape(B * H, W * C)
 
     def one(idx, box, ok):
+        # Host-exact crop semantics (pipeline/ocr._prep_crop + crop_image):
+        # the host int-TRUNCATES box corners (inclusive extents), quantizes
+        # the scaled content width to nw = int(w * rec_h/h), resamples with
+        # the half-pixel convention at steps (h/rec_h, w/nw), and cv2-clamps
+        # sample coordinates inside the CROP rect (not the image). String-
+        # level fused-vs-host parity depends on matching all four.
         x0, y0, x1, y1 = box
-        bw = jnp.maximum(x1 - x0 + 1.0, 1.0)
-        bh = jnp.maximum(y1 - y0 + 1.0, 1.0)
+        x0 = jnp.floor(x0)
+        y0 = jnp.floor(y0)
+        bw = jnp.maximum(jnp.floor(x1) - x0 + 1.0, 1.0)
+        bh = jnp.maximum(jnp.floor(y1) - y0 + 1.0, 1.0)
         scale = bh / rec_h
-        out_w = jnp.minimum(bw / scale, float(rec_w))  # scaled content width
+        out_w = jnp.maximum(jnp.floor(bw * (rec_h / bh)), 1.0)
         ii = jnp.arange(rec_h, dtype=jnp.float32)
         jj = jnp.arange(rec_w, dtype=jnp.float32)
         # If content wider than rec_w, squeeze to fit (host path resizes to
         # exactly (rec_w, rec_h) in that case).
-        x_step = jnp.where(bw / scale > rec_w, bw / rec_w, scale)
-        ys = y0 + (ii + 0.5) * scale - 0.5
-        xs = x0 + (jj + 0.5) * x_step - 0.5
+        content_w = jnp.minimum(out_w, float(rec_w))
+        x_step = bw / content_w
+        ys = y0 + jnp.clip((ii + 0.5) * scale - 0.5, 0.0, bh - 1.0)
+        xs = x0 + jnp.clip((jj + 0.5) * x_step - 0.5, 0.0, bw - 1.0)
         # Separable bilinear resample as two MXU matmuls: rows first
         # (collapses B*H source rows to rec_h and selects the image via
         # the idx*H offset), then columns.
@@ -91,7 +100,7 @@ def crop_resize_from_stack(
                        precision=jax.lax.Precision.HIGH).reshape(rec_h, W, C)
         crop = jnp.einsum("hwc,jw->hjc", band, wx,
                           precision=jax.lax.Precision.HIGH)
-        pad = jj[None, :, None] >= out_w
+        pad = jj[None, :, None] >= content_w
         crop = jnp.where(pad, 255.0, crop)
         crop = (crop / 255.0 - _MEAN) / _STD
         white = (jnp.ones(3) - _MEAN) / _STD

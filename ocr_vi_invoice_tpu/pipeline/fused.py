@@ -143,16 +143,20 @@ class FusedOCR:
             norm = (image_f32 / 255.0 - mean) / std
             prob = det.apply(det_vars, norm[None].astype(self.dtype))["binary"]
             prob = prob[0, :, :, 0]
+            # min_size=0 for decision parity: the reference defines
+            # min_size=3 but never applies it (`src/det/test.py:52`);
+            # with_quads adds the rotated-quad outputs the reference's
+            # polygon path provides for rotated text.
             return extract_boxes(
                 prob, pp.thresh, pp.box_thresh, pp.unclip_ratio, pp.min_area,
-                max_boxes=K,
+                max_boxes=K, with_quads=True,
             )
 
         def run(det_vars, rec_vars, image_f32):
-            boxes, scores, valid = per_image(det_vars, image_f32)
+            boxes, scores, valid, quads = per_image(det_vars, image_f32)
             ids = rec_ids(rec_vars, image_f32[None],
                           jnp.zeros((K,), jnp.int32), boxes, valid)
-            return boxes, scores, valid, ids
+            return boxes, scores, valid, quads, ids
 
         def run_batch(det_vars, rec_vars, images_f32):
             """(B, H, W, 3) stack. Detection vmaps over the stack; then all
@@ -165,7 +169,7 @@ class FusedOCR:
             scatters ids back to per-image slots, so results are
             position-identical to the uncompacted program."""
             B = images_f32.shape[0]
-            boxes, scores, valid = jax.vmap(
+            boxes, scores, valid, quads = jax.vmap(
                 per_image, in_axes=(None, 0))(det_vars, images_f32)
             N = B * K
             boxes_f = boxes.reshape(N, 4)
@@ -176,7 +180,7 @@ class FusedOCR:
                                  boxes_f[order], valid_f[order])
             inv = jnp.argsort(order)
             ids = ids_sorted[inv].reshape(B, K, T)
-            return boxes, scores, valid, ids
+            return boxes, scores, valid, quads, ids
 
         self._run = run  # unjitted; bench.py wraps it in a timing loop
         self._run_batch = run_batch  # unjitted, for the bench batch loop
@@ -189,14 +193,13 @@ class FusedOCR:
         # and the tile-skip lax.cond stay PER-CHIP: a global sort would
         # all-gather every crop, and vmap-lowered cond would run all tiles.
         if mesh is not None:
-            from jax.experimental.shard_map import shard_map
             from jax.sharding import PartitionSpec as P
 
-            self._batch_program = jax.jit(shard_map(
+            self._batch_program = jax.jit(jax.shard_map(
                 run_batch, mesh=mesh,
                 in_specs=(P(), P(), P("data")),
                 out_specs=P("data"),
-                check_rep=False,
+                check_vma=False,
             ))
             self._data_size = mesh.shape["data"]
         else:
@@ -207,18 +210,19 @@ class FusedOCR:
         """Run on one image (already resized to the det bucket)."""
         import jax.numpy as jnp
 
-        boxes, scores, valid, ids = self._program(
+        boxes, scores, valid, quads, ids = self._program(
             self.det_vars, self.rec_vars,
             jnp.asarray(image_rgb, jnp.float32),
         )
         boxes = np.asarray(boxes)
         scores = np.asarray(scores)
         valid = np.asarray(valid)
+        quads = np.asarray(quads)
         ids = np.asarray(ids)
         texts = self.tokenizer.decode_ctc_greedy(ids)
         return [
-            {"box": boxes[i].tolist(), "score": float(scores[i]),
-             "text": texts[i]}
+            {"box": boxes[i].tolist(), "quad": quads[i].tolist(),
+             "score": float(scores[i]), "text": texts[i]}
             for i in range(len(valid)) if valid[i]
         ]
 
@@ -236,20 +240,21 @@ class FusedOCR:
             raise ValueError(
                 f"batch size {images_rgb.shape[0]} must be a multiple of "
                 f"the mesh data axis ({self._data_size})")
-        boxes, scores, valid, ids = self._batch_program(
+        boxes, scores, valid, quads, ids = self._batch_program(
             self.det_vars, self.rec_vars,
             jnp.asarray(images_rgb, jnp.float32),
         )
         boxes = np.asarray(boxes)
         scores = np.asarray(scores)
         valid = np.asarray(valid)
+        quads = np.asarray(quads)
         ids = np.asarray(ids)
         out: List[List[Dict]] = []
         for b in range(images_rgb.shape[0]):
             texts = self.tokenizer.decode_ctc_greedy(ids[b])
             out.append([
-                {"box": boxes[b, i].tolist(), "score": float(scores[b, i]),
-                 "text": texts[i]}
+                {"box": boxes[b, i].tolist(), "quad": quads[b, i].tolist(),
+                 "score": float(scores[b, i]), "text": texts[i]}
                 for i in range(valid.shape[1]) if valid[b, i]
             ])
         return out

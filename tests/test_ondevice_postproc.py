@@ -44,12 +44,81 @@ def test_extract_boxes_matches_host_decisions():
     boxes, scores, valid = map(np.asarray, (boxes, scores, valid))
     assert valid.sum() == 2
     kept = boxes[valid]
-    # unclip: d = A*r/L; blob1: 52x16 -> d = 52*16*1.5/136 = 9.18
+    # Host-raster unclip semantics: pixel-center polygon area by Pick
+    # (solid rect: ew*eh = 51*15 = 765), L = 2(ew+eh) = 132 -> d = floor(
+    # 765*1.5/132) = 8, the integer EDT dilation of the host path.
     b = kept[np.argsort(kept[:, 1])]
-    assert b[0][0] == pytest.approx(8 - 9.18, abs=1.5)
-    assert b[0][1] == pytest.approx(10 - 9.18, abs=1.5)
-    assert b[0][2] == pytest.approx(59 + 9.18, abs=1.5)
+    assert b[0][0] == pytest.approx(8 - 8, abs=1e-4)
+    assert b[0][1] == pytest.approx(10 - 8, abs=1e-4)
+    assert b[0][2] == pytest.approx(59 + 8, abs=1e-4)
     assert scores[valid].min() > 0.8
+
+
+def test_extract_boxes_min_size_gate():
+    prob = np.zeros((64, 128), np.float32)
+    prob[10:12, 8:60] = 0.92     # 2px tall -> rejected at min_size=3
+    prob[30:40, 8:60] = 0.92     # 10px tall -> kept
+    boxes, scores, valid = extract_boxes(
+        jnp.asarray(prob), thresh=0.3, box_thresh=0.6, min_area=10,
+        max_boxes=8, min_size=3.0,
+    )
+    assert int(np.asarray(valid).sum()) == 1
+    # With the gate off (reference decision parity) both stay.
+    _, _, valid0 = extract_boxes(
+        jnp.asarray(prob), thresh=0.3, box_thresh=0.6, min_area=10,
+        max_boxes=8,
+    )
+    assert int(np.asarray(valid0).sum()) == 2
+
+
+def _quad_mask(quad, h, w):
+    from ocr_vi_invoice_tpu import native
+
+    return native.fill_poly((h, w), np.asarray(quad, np.float32))
+
+
+def test_extract_boxes_quads_on_rotated_text():
+    """A rotated bar: the quad must align with it (mask IoU vs the true
+    rotated rect >= 0.8) while the axis-aligned box only bounds it."""
+    from ocr_vi_invoice_tpu import native
+
+    H, W = 160, 200
+    prob = np.zeros((H, W), np.float32)
+    # rotated rectangle: center (100, 80), 120x14, 15 degrees
+    ang = np.deg2rad(15.0)
+    c, s = np.cos(ang), np.sin(ang)
+    corners = []
+    for su, sv in ((-1, -1), (1, -1), (1, 1), (-1, 1)):
+        corners.append([100 + su * 60 * c - sv * 7 * s,
+                        80 + su * 60 * s + sv * 7 * c])
+    corners = np.asarray(corners, np.float32)
+    truth = native.fill_poly((H, W), corners)
+    prob[truth > 0] = 0.9
+
+    boxes, scores, valid, quads = extract_boxes(
+        jnp.asarray(prob), thresh=0.3, box_thresh=0.6, unclip_ratio=1.5,
+        min_area=10, max_boxes=8, with_quads=True,
+    )
+    valid = np.asarray(valid)
+    assert valid.sum() == 1
+    quad = np.asarray(quads)[valid][0]
+    # Angle recovered from the quad's first edge.
+    e = quad[1] - quad[0]
+    got = np.rad2deg(np.arctan2(e[1], e[0]))
+    assert got == pytest.approx(15.0, abs=3.0)
+    # IoU vs the truth rect expanded by the same d (pixel area ~ 120*14).
+    area = float(truth.sum())
+    ext = np.ptp(corners, axis=0).sum()  # ew + eh of the AABB
+    d = np.floor(max(area - ext - 1, 0) * 1.5 / (2 * ext))
+    grown = []
+    for su, sv in ((-1, -1), (1, -1), (1, 1), (-1, 1)):
+        grown.append([100 + su * (60 + d) * c - sv * (7 + d) * s,
+                      80 + su * (60 + d) * s + sv * (7 + d) * c])
+    tm = _quad_mask(np.asarray(grown, np.float32), H, W)
+    qm = _quad_mask(quad, H, W)
+    inter = float((tm & qm).sum())
+    union = float((tm | qm).sum())
+    assert inter / union >= 0.8, f"quad IoU {inter / union:.3f}"
 
 
 def test_extract_boxes_empty_map():

@@ -119,8 +119,8 @@ def main():
     @jax.jit
     def fused_loop(img, n):
         def body(i, carry):
-            boxes, scores, valid, ids = fused._run(det_vars, rec_vars, carry)
-            return carry + (jnp.sum(boxes) * 1e-12
+            boxes, scores, valid, quads, ids = fused._run(det_vars, rec_vars, carry)
+            return carry + (jnp.sum(boxes) * 1e-12 + jnp.sum(quads) * 1e-12
                             + jnp.sum(ids).astype(jnp.float32) * 1e-12)
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, img))

@@ -36,7 +36,7 @@ def main():
     import jax.numpy as jnp
     from flax import linen as nn
 
-    from ocr_vi_invoice_tpu.models.svtrv2 import SVTRv2, VARIANTS
+    from ocr_vi_invoice_tpu.models.svtrv2 import SVTRv2
     from ocr_vi_invoice_tpu.utils.precision import cast_inference_params
 
     key = jax.random.PRNGKey(0)
@@ -82,7 +82,13 @@ def main():
         g = dim // 32
         xi = jax.random.normal(key, (B, h, 64, dim), jnp.bfloat16)
         wg = jax.random.normal(key, (3, 3, 32, dim), jnp.bfloat16) * 0.05
-        wd = jax.random.normal(key, (3, 3, dim, dim), jnp.bfloat16) * 0.05
+        # Block-diagonal embedding of wg: the dense conv computes the
+        # IDENTICAL function to the grouped conv (zeros off-block), so the
+        # timing doubles as a drop-in correctness check.
+        wd = jnp.zeros((3, 3, dim, dim), jnp.bfloat16)
+        for gi in range(g):
+            wd = wd.at[:, :, gi * 32:(gi + 1) * 32, gi * 32:(gi + 1) * 32].set(
+                wg[:, :, :, gi * 32:(gi + 1) * 32])
 
         def conv_grouped(w, xi):
             return jax.lax.conv_general_dilated(
