@@ -346,9 +346,20 @@ def main(watchdog_s: int = 1500):
         batch_t = max(batch_t, det_t)  # contains >= one det forward
     except Exception as e:  # pragma: no cover - chip-state dependent
         print(f"# batch path skipped: {e}", flush=True)
-    batch_per_invoice = batch_t / BATCH
-
     calib_tflops = _calibrate()
+
+    # A third, delayed batch attempt (same treatment as fused): the
+    # calibration above separates it in time from the first two windows,
+    # so one contention window cannot sink the batch-serving number.
+    if np.isfinite(batch_t):
+        try:
+            batch_t = min(batch_t, _timed(
+                batch_loop, det_vars, rec_vars, batch_imgs,
+                n_lo=1, n_hi=8, budget_s=60))
+            batch_t = max(batch_t, det_t)
+        except Exception as e:  # pragma: no cover - chip-state dependent
+            print(f"# batch retry skipped: {e}", flush=True)
+    batch_per_invoice = batch_t / BATCH
 
     invoices_per_sec = max(1.0 / fused_t,
                            0.0 if not np.isfinite(batch_per_invoice)

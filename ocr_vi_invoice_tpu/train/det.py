@@ -69,6 +69,7 @@ def main(argv=None):
     from ocr_vi_invoice_tpu.train.schedules import (
         det_finetune_phase_optimizer,
         det_freeze_phase_optimizer,
+        onecycle,
     )
     from ocr_vi_invoice_tpu.train.steps import (
         TrainState,
@@ -88,6 +89,12 @@ def main(argv=None):
     ap.add_argument("--image_size", type=int, default=960)
     ap.add_argument("--save_dir", type=str, default="weights/det")
     ap.add_argument("--resume", type=str, default=None)
+    ap.add_argument("--init_backbone_from", type=str, default=None,
+                    help="warm-start ONLY the backbone (params+batch_stats) "
+                         "from another det checkpoint, neck/head fresh — the "
+                         "TPU-side analogue of the reference's ImageNet-"
+                         "pretrained ResNet50 init (backbone.py:13-18), used "
+                         "by the warm-vs-cold backbone experiment")
     ap.add_argument("--auto_resume", action="store_true",
                     help="continue from <save_dir>/last_state (FULL train "
                          "state: optimizer moments + schedule position + "
@@ -157,6 +164,16 @@ def main(argv=None):
             "batch_stats": restored["batch_stats"],
         }
         print(f"Loaded weights from {args.resume} (fresh optimizer/schedule)")
+    elif args.init_backbone_from:
+        restored = load_weights(args.init_backbone_from)
+        variables = {
+            "params": {**variables["params"],
+                       "backbone": restored["params"]["backbone"]},
+            "batch_stats": {**variables["batch_stats"],
+                            "backbone": restored["batch_stats"]["backbone"]},
+        }
+        print(f"Warm-started backbone from {args.init_backbone_from} "
+              "(neck/head fresh)")
 
     steps_per_epoch = num_batches(len(train_ds), args.batch_size, drop_last=True)
     if args.max_steps_per_epoch:
@@ -205,6 +222,23 @@ def main(argv=None):
 
     train_step = jax.jit(make_det_train_step(model))
     eval_step = jax.jit(make_det_eval_step(model))
+
+    def current_lr(epoch_done: int) -> float:
+        """Head-group LR at the end of ``epoch_done`` — the same schedule
+        position the optimizer just stepped to (deterministic in the CLI
+        args, like build_tx), logged per epoch like the reference
+        (`src/det/train.py:192-196`)."""
+        if freeze > 0 and epoch_done < freeze:
+            s = min((epoch_done + 1) * steps_per_epoch, phase1_steps)
+            return float(onecycle(args.lr, phase1_steps)(s))
+        kw = dict(pct_start=0.1, div_factor=10, final_div_factor=1000)
+        if freeze > 0:
+            total = steps_per_epoch * (args.epochs - freeze)
+            s = min((epoch_done + 1 - freeze) * steps_per_epoch, total)
+            return float(onecycle(args.lr * 0.5, total, **kw)(s))
+        total = steps_per_epoch * args.epochs
+        s = min((epoch_done + 1) * steps_per_epoch, total)
+        return float(onecycle(args.lr, total, **kw)(s))
 
     log = CSVLogger(Path(args.save_dir) / "training_log.csv", DET_COLUMNS,
                     resume=bool(args.resume) or resumed is not None)
@@ -270,7 +304,8 @@ def main(argv=None):
             f"F1 {val['f1']:.4f} IoU {val['iou']:.4f} Dice {val['dice']:.4f}"
         )
         log.append({
-            "epoch": epoch + 1, "lr": "", "train_loss": f"{train_loss:.4f}",
+            "epoch": epoch + 1, "lr": f"{current_lr(epoch):.6f}",
+            "train_loss": f"{train_loss:.4f}",
             "val_loss": f"{val['loss']:.4f}",
             "val_precision": f"{val['precision']:.4f}",
             "val_recall": f"{val['recall']:.4f}", "val_f1": f"{val['f1']:.4f}",

@@ -162,8 +162,17 @@ def main(argv=None):
     steps_per_epoch = num_batches(len(train_ds), args.batch_size, drop_last=True)
     if args.max_steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, args.max_steps_per_epoch)
-    tx = adamw_onecycle(args.lr, steps_per_epoch * args.epochs)
+    total_steps = steps_per_epoch * args.epochs
+    tx = adamw_onecycle(args.lr, total_steps)
     state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+
+    def current_lr(epoch_done: int) -> float:
+        """Schedule LR at the end of ``epoch_done``, logged per epoch like
+        the reference (`src/rec2/train.py:197-201`)."""
+        from ocr_vi_invoice_tpu.train.schedules import onecycle
+
+        s = min((epoch_done + 1) * steps_per_epoch, total_steps)
+        return float(onecycle(args.lr, total_steps)(s))
 
     ckpt = CheckpointManager(args.save_dir, every=args.checkpoint_every)
 
@@ -244,7 +253,8 @@ def main(argv=None):
             f"CER {val['cer']:.4f} | Acc {val['accuracy']:.4f}"
         )
         log.append({
-            "epoch": epoch + 1, "lr": "", "train_loss": f"{train_loss:.4f}",
+            "epoch": epoch + 1, "lr": f"{current_lr(epoch):.6f}",
+            "train_loss": f"{train_loss:.4f}",
             "val_loss": f"{val['loss']:.4f}", "val_cer": f"{val['cer']:.4f}",
             "val_accuracy": f"{val['accuracy']:.4f}",
         })

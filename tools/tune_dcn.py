@@ -143,6 +143,116 @@ def make_variant(hat3d: bool, acc_dtype_name: str, tile_h: int):
     return fwd
 
 
+def make_chw_variant(tile_h: int):
+    """x carried as (B, Hp, Cin, Wp): Cin in SUBLANES, Wp in lanes, Hp a
+    free dim (dynamic row start stays free). The per-firing hat broadcast
+    w2[:, None, :] then replicates across sublanes — cheap — instead of
+    transposing Wo from lanes to sublanes per (tap, cell). Accumulator is
+    (th, K*Cin, Wo); one swapaxes per tile feeds the MXU contraction."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kern(x_ref, dy_ref, dx_ref, mask_ref, w_ref, out_ref, acc_ref, *,
+             R, K, kh, kw, th, Wo, Cin, Cout):
+        i = pl.program_id(1)
+        row_base = i * th
+        dy = jnp.clip(dy_ref[0].astype(jnp.float32), -R, R)
+        dx = jnp.clip(dx_ref[0].astype(jnp.float32), -R, R)
+        m = mask_ref[0].astype(jnp.float32)
+        Sy = kh + 2 * R + 1
+        Sx = kw + 2 * R + 1
+        acc_ref[...] = jnp.zeros((th, K * Cin, Wo), acc_ref.dtype)
+
+        def sy_body(sy, _):
+            rows = x_ref[0, pl.ds(row_base + sy, th), :, :]  # (th, Cin, Wp)
+            syf = sy.astype(jnp.float32)
+            for sx in range(Sx):
+                w2s, hits = [], []
+                for t in range(K):
+                    ti, tj = t // kw, t % kw
+                    wy = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(dy[..., t] - (syf - R - ti)))
+                    wx = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(dx[..., t] - (sx - R - tj)))
+                    w2s.append(wy * wx * m[..., t])
+                    hits.append(jnp.max(w2s[-1]))
+                any_hit = functools.reduce(jnp.maximum, hits)
+
+                @pl.when(any_hit > 0.0)
+                def _(sx=sx, w2s=w2s, hits=hits):
+                    xs = rows[:, :, sx:sx + Wo].astype(jnp.float32)
+                    for t in range(K):
+                        @pl.when(hits[t] > 0.0)
+                        def _(t=t, xs=xs, w2s=w2s):
+                            sl = slice(t * Cin, (t + 1) * Cin)
+                            acc_ref[:, sl, :] += w2s[t][:, None, :] * xs
+            return 0
+
+        jax.lax.fori_loop(0, Sy, sy_body, 0)
+        acc = jnp.swapaxes(acc_ref[...], 1, 2)  # (th, Wo, K*Cin)
+        out = jax.lax.dot_general(
+            acc.reshape(th * Wo, K * Cin),
+            w_ref[:].astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0] = out.reshape(th, Wo, Cout).astype(out_ref.dtype)
+
+    def fwd(x, offset, mask, weight, padding=1, radius=3):
+        B, H, W, Cin = x.shape
+        kh, kw, _, Cout = weight.shape
+        K = kh * kw
+        Ho, Wo = offset.shape[1], offset.shape[2]
+        R = radius
+        n_tiles = -(-Ho // tile_h)
+        Ho_pad = n_tiles * tile_h
+        pad_lo = R + padding
+        need_rows = Ho_pad + 2 * R + kh
+        need_cols = Wo + 2 * R + kw
+        need_cols = -(-need_cols // 8) * 8
+        xp = jnp.pad(x, ((0, 0),
+                         (pad_lo, max(need_rows - pad_lo - H, 0)),
+                         (pad_lo, max(need_cols - pad_lo - W, 0)),
+                         (0, 0)))
+        xp = jnp.swapaxes(xp, 2, 3)  # (B, Hp, Cin, Wp)
+        Hp, Wp = xp.shape[1], xp.shape[3]
+        if Ho_pad != Ho:
+            offset = jnp.pad(offset, ((0, 0), (0, Ho_pad - Ho), (0, 0), (0, 0)))
+            mask = jnp.pad(mask, ((0, 0), (0, Ho_pad - Ho), (0, 0), (0, 0)))
+        dy = offset[..., 0::2]
+        dx = offset[..., 1::2]
+        kernel = functools.partial(
+            kern, R=R, K=K, kh=kh, kw=kw, th=tile_h, Wo=Wo, Cin=Cin, Cout=Cout)
+        out = pl.pallas_call(
+            kernel,
+            grid=(B, n_tiles),
+            in_specs=[
+                pl.BlockSpec((1, Hp, Cin, Wp), lambda b, i: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_h, Wo, K), lambda b, i: (b, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_h, Wo, K), lambda b, i: (b, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_h, Wo, K), lambda b, i: (b, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K * Cin, Cout), lambda b, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, tile_h, Wo, Cout),
+                                   lambda b, i: (b, i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, Ho_pad, Wo, Cout), x.dtype),
+            scratch_shapes=[pltpu.VMEM((tile_h, K * Cin, Wo), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+        )(xp, dy, dx, mask, weight.reshape(K * Cin, Cout))
+        return out[:, :Ho]
+
+    return fwd
+
+
 def main():
     bench._arm_watchdog(3000)
     import jax
@@ -157,10 +267,9 @@ def main():
     R = 3
     shapes = [("c3", 120, 128), ("c4", 60, 256)]
     variants = {
-        "hat3d": make_variant(True, "float32", 8),
-        "hat3d_bf16": make_variant(True, "bfloat16", 8),
-        "hat2d_bf16": make_variant(False, "bfloat16", 8),
-        "hat3d_bf16_t16": make_variant(True, "bfloat16", 16),
+        "t4": make_variant(False, "float32", 4),
+        "chw_t8": make_chw_variant(8),
+        "chw_t4": make_chw_variant(4),
     }
 
     results = {}
