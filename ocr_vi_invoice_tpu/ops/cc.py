@@ -372,8 +372,15 @@ def extract_boxes(
     ctk, stk = ct[:max_boxes], st[:max_boxes]
     bcx = (xmin + xmax) * 0.5
     bcy = (ymin + ymax) * 0.5
-    hu = eu * 0.5 + d
-    hv = ev * 0.5 + d
+    # The quad's unclip distance uses the ROTATED extents: the host's
+    # polygon area/perimeter are rotation-invariant, while the AABB-based
+    # d above underestimates for rotated components (AABB perimeter >
+    # rotated perimeter). At 0 rotation the two coincide.
+    d_rot = jnp.floor(
+        jnp.maximum(area - (eu + ev) - 1.0, 0.0) * unclip_ratio
+        / jnp.maximum(2.0 * (eu + ev), 1e-6))
+    hu = eu * 0.5 + d_rot
+    hv = ev * 0.5 + d_rot
     ccx = bcx + ctk * (umin + umax) * 0.5 - stk * (vmin + vmax) * 0.5
     ccy = bcy + stk * (umin + umax) * 0.5 + ctk * (vmin + vmax) * 0.5
     signs = jnp.asarray(
