@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Any, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -204,6 +205,45 @@ _CONFIGS = {
 }
 
 
+class _StemConv(nn.Module):
+    """The 7x7/stride-2 stem conv, optionally run as its space-to-depth
+    reparameterization: a 3-input-channel conv packs the MXU's 128-wide
+    contraction dim at 3/128, so the identical linear map is re-expressed
+    as a 4x4/stride-1 conv over the 2x2-space-to-depth input (12
+    channels). The PARAMETER stays the torchvision-layout (7, 7, 3, 64)
+    kernel — checkpoints are unchanged; the 4x4 kernel is a fixed
+    permutation/zero-pad of it computed inside the jitted apply:
+      out(i,j) = sum_{a,b} w7[a,b] x(2i+a-3, 2j+b-3)
+               = sum_{A,B,p,q} w7[2A+p+3, 2B+q+3] x2(i+A, j+B, (p,q,·))
+    with (A+2) = (a+1)//2, p = (a+1)%2 and asymmetric padding (2, 1).
+    """
+
+    s2d: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w7 = self.param("kernel", kaiming_out_init, (7, 7, 3, 64))
+        w7 = w7.astype(self.dtype)
+        if not self.s2d:
+            return jax.lax.conv_general_dilated(
+                x, w7, (2, 2), ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        B, H, W, C = x.shape
+        if H % 2 or W % 2:  # odd sizes: keep the direct form
+            return jax.lax.conv_general_dilated(
+                x, w7, (2, 2), ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x2 = x.reshape(B, H // 2, 2, W // 2, 2, C).transpose(
+            0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+        w8 = jnp.zeros((8, 8, 3, 64), self.dtype).at[1:8, 1:8].set(w7)
+        w4 = w8.reshape(4, 2, 4, 2, 3, 64).transpose(
+            0, 2, 1, 3, 4, 5).reshape(4, 4, 12, 64)
+        return jax.lax.conv_general_dilated(
+            x2, w4, (1, 1), ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class ResNet(nn.Module):
     """Pyramid feature extractor: returns [c2, c3, c4, c5].
 
@@ -215,6 +255,7 @@ class ResNet(nn.Module):
     name_: str = "resnet50"
     dcn: bool = False
     dcn_mode: str = "gather"
+    stem_s2d: bool = True
     dtype: Dtype = jnp.float32
 
     @property
@@ -226,7 +267,7 @@ class ResNet(nn.Module):
         cfg = _CONFIGS[self.name_]
         block_cls, layers = cfg["block"], cfg["layers"]
 
-        x = _conv(64, 7, 2, 3, self.dtype, "conv1")(x)
+        x = _StemConv(s2d=self.stem_s2d, dtype=self.dtype, name="conv1")(x)
         x = _bn(train, self.dtype, "bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

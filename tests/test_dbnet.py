@@ -150,3 +150,24 @@ def test_db_loss_gradients_finite():
     g = jax.grad(loss_fn)(variables["params"])
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_stem_s2d_equals_direct_conv():
+    """The space-to-depth stem reparameterization computes the identical
+    function to the 7x7/stride-2 conv from the SAME parameter tree
+    (checkpoint-compatible: param stays backbone/conv1/kernel (7,7,3,64))."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ocr_vi_invoice_tpu.models.resnet import ResNet
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 96, 3), jnp.float32)
+    m_direct = ResNet(name_="resnet18", stem_s2d=False)
+    m_s2d = ResNet(name_="resnet18", stem_s2d=True)
+    v = m_direct.init(jax.random.PRNGKey(1), x)
+    out_d = m_direct.apply(v, x)
+    out_s = m_s2d.apply(v, x)  # same variables drop in
+    for a, b in zip(out_d, out_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
