@@ -55,15 +55,81 @@ def four_point_transform(image: np.ndarray, pts: np.ndarray) -> np.ndarray:
     return native.warp_perspective(image, M, (mw, mh))
 
 
+def _clahe_gray(l: np.ndarray, clip_limit: float = 2.0,
+                grid: int = 8) -> np.ndarray:
+    """First-party CLAHE (numpy): per-tile clipped histograms with excess
+    redistribution, bilinear interpolation between the tile LUTs — the
+    same construction as cv2.createCLAHE(2.0, (8, 8))."""
+    h, w = l.shape
+    th, tw = -(-h // grid), -(-w // grid)
+    ph, pw = th * grid - h, tw * grid - w
+    lp = np.pad(l, ((0, ph), (0, pw)), mode="reflect")
+    tiles = lp.reshape(grid, th, grid, tw).transpose(0, 2, 1, 3)
+    npx = th * tw
+    clip = max(int(clip_limit * npx / 256.0), 1)
+    luts = np.empty((grid, grid, 256), np.uint8)
+    for i in range(grid):
+        for j in range(grid):
+            hist = np.bincount(tiles[i, j].ravel(), minlength=256)
+            excess = np.maximum(hist - clip, 0).sum()
+            hist = np.minimum(hist, clip) + excess // 256
+            cdf = np.cumsum(hist)
+            # cv2 scale: map cdf to [0, 255] over the tile's pixel count
+            luts[i, j] = np.clip(np.round(cdf * (255.0 / max(cdf[-1], 1))),
+                                 0, 255).astype(np.uint8)
+    # bilinear blend of the 4 surrounding tile LUTs per pixel
+    ys = (np.arange(h) + 0.5) / th - 0.5
+    xs = (np.arange(w) + 0.5) / tw - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, grid - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, grid - 1)
+    y1 = np.minimum(y0 + 1, grid - 1)
+    x1 = np.minimum(x0 + 1, grid - 1)
+    fy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    fx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    li = l.astype(int)
+    v00 = luts[y0[:, None], x0[None, :], li]
+    v01 = luts[y0[:, None], x1[None, :], li]
+    v10 = luts[y1[:, None], x0[None, :], li]
+    v11 = luts[y1[:, None], x1[None, :], li]
+    out = ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+           + fy * ((1 - fx) * v10 + fx * v11))
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _conv3x3(img: np.ndarray, k: np.ndarray) -> np.ndarray:
+    p = np.pad(img.astype(np.float32), ((1, 1), (1, 1), (0, 0)), mode="edge")
+    out = np.zeros(img.shape, np.float32)
+    for dy in range(3):
+        for dx in range(3):
+            out += k[dy, dx] * p[dy:dy + img.shape[0], dx:dx + img.shape[1]]
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
 def enhance_document(image_rgb: np.ndarray) -> np.ndarray:
-    """CLAHE on L channel + denoise + sharpen (`scanner.py:55-76`)."""
-    lab = cv2.cvtColor(image_rgb, cv2.COLOR_RGB2LAB)
-    l, a, b = cv2.split(lab)
-    clahe = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8))
-    enhanced = cv2.cvtColor(cv2.merge([clahe.apply(l), a, b]), cv2.COLOR_LAB2RGB)
-    enhanced = cv2.fastNlMeansDenoisingColored(enhanced, None, 10, 10, 7, 21)
-    kernel = np.array([[-1, -1, -1], [-1, 9, -1], [-1, -1, -1]])
-    return cv2.filter2D(enhanced, -1, kernel)
+    """CLAHE on the luma + denoise + sharpen (`scanner.py:55-76`).
+
+    CLAHE and the sharpen filter are first-party (numpy); the luma is
+    BT.601 Y rather than cv2's LAB L (visually equivalent contrast
+    target). Only the non-local-means denoise still uses cv2 when
+    available — an NLM with cv2's exact weighting is not practical in
+    numpy at document sizes — and is skipped otherwise.
+    """
+    img = np.ascontiguousarray(image_rgb, np.uint8)
+    luma = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+            + 0.114 * img[..., 2]).astype(np.uint8)
+    eq = _clahe_gray(luma)
+    gain = (eq.astype(np.float32) + 1.0) / (luma.astype(np.float32) + 1.0)
+    enhanced = np.clip(img.astype(np.float32) * gain[..., None], 0, 255
+                       ).astype(np.uint8)
+    try:
+        import cv2 as _cv2
+
+        enhanced = _cv2.fastNlMeansDenoisingColored(
+            enhanced, None, 10, 10, 7, 21)
+    except Exception:
+        pass  # denoise is cosmetic; proceed without it
+    kernel = np.array([[-1, -1, -1], [-1, 9, -1], [-1, -1, -1]], np.float32)
+    return _conv3x3(enhanced, kernel)
 
 
 def _resize_nearest_mask(mask: np.ndarray, out_w: int, out_h: int) -> np.ndarray:

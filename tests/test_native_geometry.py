@@ -138,3 +138,25 @@ def test_scanner_warp_without_cv2(monkeypatch):
     monkeypatch.setitem(sys.modules, "cv2", _PoisonedCV2())
     ours = sc.four_point_transform(img, pts)
     assert np.array_equal(ref, ours)
+
+
+def test_enhance_document_without_cv2(monkeypatch):
+    """CLAHE + sharpen enhancement is first-party; with cv2 poisoned the
+    NLM denoise is skipped and the rest still runs (`scanner.py:55-76`
+    role)."""
+    import sys
+
+    from ocr_vi_invoice_tpu.pipeline import scanner as sc
+
+    rng = np.random.RandomState(0)
+    # low-contrast document-ish image
+    img = (rng.rand(120, 90, 3) * 40 + 150).astype(np.uint8)
+    img[40:60, 20:70] = 140
+
+    poisoned = _PoisonedCV2()
+    monkeypatch.setattr(sc, "cv2", poisoned)
+    monkeypatch.setitem(sys.modules, "cv2", poisoned)
+    out = sc.enhance_document(img)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    # contrast must expand (CLAHE stretches the luma histogram)
+    assert out.std() > img.std()
