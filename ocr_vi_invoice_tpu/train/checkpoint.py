@@ -159,7 +159,7 @@ class CheckpointManager:
 # `src/pipeline/pipeline2.py:196-238`).
 _SHIPPED = {
     "det": ("det960b", "det960", "det"),
-    "rec": ("rec2_aug", "rec2"),
+    "rec": ("rec2_aug2", "rec2_aug", "rec2"),
     "scan": ("u2netp",),
 }
 
