@@ -281,7 +281,7 @@ def main(watchdog_s: int = 1500):
     @jax.jit
     def fused_loop(dv, rv, img, n):
         def body(i, carry):
-            boxes, scores, valid, quads, ids = fused._run(dv, rv, carry)
+            boxes, scores, valid, quads, ids, _ovf = fused._run(dv, rv, carry)
             feedback = (jnp.sum(boxes) * 1e-12 + jnp.sum(quads) * 1e-12
                         + jnp.sum(ids).astype(jnp.float32) * 1e-12)
             return carry + feedback
@@ -301,7 +301,7 @@ def main(watchdog_s: int = 1500):
     @jax.jit
     def batch_loop(dv, rv, imgs, n):
         def body(i, carry):
-            boxes, scores, valid, quads, ids = fused._run_batch(dv, rv, carry)
+            boxes, scores, valid, quads, ids, _ovf = fused._run_batch(dv, rv, carry)
             feedback = (jnp.sum(boxes) * 1e-12 + jnp.sum(quads) * 1e-12
                         + jnp.sum(ids).astype(jnp.float32) * 1e-12)
             return carry + feedback

@@ -83,15 +83,16 @@ class DeformableConv2d(nn.Module):
                 self.strides, self.padding, self.radius,
             )
         elif self.mode == "pallas" and self.dilation == 1 and self.strides == 2:
-            # Stride-2 DCN layers (first bottleneck of each stage): Mosaic
-            # can't express strided window slices, so the FORWARD keeps the
-            # gather path with offsets clipped to the radius — bilinear
-            # sampling of a clipped offset is exactly the bounded-offset
-            # (local/pallas) semantics, so the whole 'pallas' model is one
-            # consistent function of the parameters. The BACKWARD routes
-            # through the stride-1 Pallas kernels on the 2x-upsampled
-            # offset grid (dcn_kernel.deform_conv2d_s2_pallas) — the
-            # gather's transpose scatters cost ~1 s/layer/step at 960².
+            # Stride-2 DCN layers (first bottleneck of each stage): the
+            # FORWARD is the parity-view Pallas kernel (four (row%2,
+            # col%2) views of the padded input turn every stride-2 access
+            # into a stride-free slice — Mosaic can't express strided
+            # window slices directly); semantics equal bilinear sampling
+            # of a radius-clipped offset, so the whole 'pallas' model is
+            # one consistent function of the parameters. The BACKWARD
+            # routes through the stride-1 Pallas kernels on the
+            # 2x-upsampled offset grid (same file) — the gather's
+            # transpose scatters cost ~1 s/layer/step at 960².
             from ocr_vi_invoice_tpu.ops.pallas.dcn_kernel import (
                 deform_conv2d_s2_pallas,
             )

@@ -96,7 +96,7 @@ def connected_components(mask: jnp.ndarray, num_iters: int = 8) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("max_boxes", "max_runs", "max_overlap",
                                    "max_union_iters", "max_runs_per_row",
-                                   "min_size", "with_quads"))
+                                   "min_size", "with_quads", "with_overflow"))
 def extract_boxes(
     prob: jnp.ndarray,
     thresh: float = 0.3,
@@ -110,6 +110,7 @@ def extract_boxes(
     max_runs_per_row: int = 64,
     min_size: float = 0.0,
     with_quads: bool = False,
+    with_overflow: bool = False,
 ):
     """(H, W) probability map -> (boxes (K,4) xyxy, scores (K,), valid (K,))
     — plus unclipped rotated quads (K,4,2) when ``with_quads=True``.
@@ -158,8 +159,13 @@ def extract_boxes(
     Capacity notes: maps with more than ``max_runs`` runs drop the excess
     runs, and rows with more than ``max_runs_per_row`` runs drop their
     rightmost excess (raise either for pathological noise); components
-    beyond ``max_boxes`` land in an overflow bucket and are dropped, as
-    before.
+    beyond ``max_boxes`` land in an overflow bucket and are dropped.
+    ``with_overflow=True`` appends an int32 (3,) vector counting exactly
+    that truncation — (runs dropped at row capacity, runs dropped at
+    global capacity, components dropped at box capacity) — so a
+    pathological page (e.g. sand-grain noise, `generator/defects.py`)
+    degrades *visibly*: the fused pipeline and serve JSON surface these
+    counters instead of silently returning a clean-looking result.
     """
     H, W = prob.shape
     RPR = min(max_runs_per_row, (W + 1) // 2)  # a row holds <= ceil(W/2) runs
@@ -187,6 +193,14 @@ def extract_boxes(
     vals_s, order = jax.lax.top_k(
         jnp.where(slot_ok, jnp.int32(H * W) - si_c, 0), R)
     run_valid = vals_s > 0
+
+    if with_overflow:
+        # truncation counters (see docstring); computed before any capacity
+        # clipping so they count what was actually dropped
+        n_row_starts = jnp.sum((mask & ~left).astype(jnp.int32), axis=1)
+        runs_row_dropped = jnp.sum(jnp.maximum(n_row_starts - RPR, 0))
+        n_slots = jnp.sum(slot_ok.astype(jnp.int32))
+        runs_global_dropped = jnp.maximum(n_slots - R, 0)
     si = jnp.where(run_valid, si_c[order], H * W - 1).astype(jnp.int32)
     ei = jnp.where(run_valid, ei_c[order], H * W - 1).astype(jnp.int32)
     row = jnp.where(run_valid, si // W, H).astype(jnp.int32)
@@ -236,6 +250,11 @@ def extract_boxes(
 
     # ---- dense component ids + per-component reductions over runs ----
     is_root = (L == L0) & run_valid
+    if with_overflow:
+        comps_dropped = jnp.maximum(
+            jnp.sum(is_root.astype(jnp.int32)) - max_boxes, 0)
+        overflow = jnp.stack(
+            [runs_row_dropped, runs_global_dropped, comps_dropped])
     rank = jnp.cumsum(is_root.astype(jnp.int32)) - 1
     root_rank = jnp.where(is_root, rank, max_boxes)
     comp_id = jnp.where(run_valid, root_rank[L], max_boxes)
@@ -364,6 +383,8 @@ def extract_boxes(
     boxes = jnp.where(valid[:, None], boxes, 0.0)
     score = jnp.where(valid, score, 0.0)
     if not with_quads:
+        if with_overflow:
+            return boxes, score, valid, overflow
         return boxes, score, valid
 
     # ---- rotated quad corners (tl, tr, br, bl in the component frame) ----
@@ -392,4 +413,6 @@ def extract_boxes(
     quads = jnp.stack(
         [jnp.clip(qx, 0, W - 1), jnp.clip(qy, 0, H - 1)], axis=-1)
     quads = jnp.where(valid[:, None, None], quads, 0.0)
+    if with_overflow:
+        return boxes, score, valid, quads, overflow
     return boxes, score, valid, quads

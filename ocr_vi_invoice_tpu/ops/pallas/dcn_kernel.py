@@ -21,12 +21,13 @@ dimension so Pallas keeps it resident across sequential row tiles.
 Offsets are clamped to ``radius`` exactly like deform_conv2d_local
 (identical math; exact vs torchvision for |offset| <= radius).
 
-Only stride 1 is expressible as static window slices (Mosaic rejects
-strided vector slices); ``deform_conv2d_pallas`` requires stride=1 and
-the three stride-2 DCN layers keep the clipped-offset gather FORWARD
-(same bounded-offset semantics — bilinear interpolation of a clipped
-offset IS the hat decomposition) while their backward reuses the
-stride-1 kernels on the 2x-upsampled grid (`deform_conv2d_s2_pallas`).
+Only stride 1 is expressible as static window slices on one array
+(Mosaic rejects strided vector slices); ``deform_conv2d_pallas``
+requires stride=1. The three stride-2 DCN layers run
+``deform_conv2d_s2_pallas``: a parity-view variant of the same kernel
+(four (row%2, col%2) views of the padded input make every stride-2
+access a stride-free slice — see the stride-2 section below) with the
+backward reusing the stride-1 kernels on the 2x-upsampled grid.
 
 The backward is three more Pallas kernels (round 2; the round-1 VJP
 routed through the XLA shift-decomposition, whose transposed program was
@@ -101,41 +102,60 @@ def _dcn_kernel(x_ref, dy_ref, dx_ref, mask_ref, w_ref, out_ref, acc_ref, *,
     # hundred KB, reused every iteration. hat() is zero whenever the
     # (tap, shift) pair is out of the bilinear support, so no masking or
     # static skipping is needed for correctness.
+    #
+    # Round-4 restructure (measured -10-15% at det shapes, tune_dcn.py):
+    # per-tap ROW weights are hoisted out of the sx loop (computed once
+    # per sy, not once per cell), the whole sy body — including the rows
+    # slice and its f32 convert — sits behind a row-level support test
+    # (trained offsets are small, so about half the Sy iterations have no
+    # tap with row support), and hat maps stay (tile, Wo, 1)-shaped so
+    # the broadcast against the (tile, Wo, Cin) slice needs no
+    # lane->sublane relayout per firing.
     def sy_body(sy, _):
-        # rows r of this tile sample padded row (row_base + r) + sy; the
-        # row dim is a non-tiled dim so a dynamic start is free. Column
-        # shifts are UNROLLED static slices: a dynamic column start would
-        # need sublane (x8) alignment, and a second fori level costs more
-        # in per-iteration loop overhead than the slices cost in VMEM.
-        rows = x_ref[0, pl.ds(row_base + sy, tile_h), :, :].astype(jnp.float32)
         syf = sy.astype(jnp.float32)
+        wys = []
+        rhits = []
+        for t in range(K):
+            ti = t // kw
+            wy = jnp.maximum(
+                0.0, 1.0 - jnp.abs(dy[..., t:t + 1] - (syf - R - ti)))
+            wys.append(wy)
+            rhits.append(jnp.max(wy))
+        row_hit = functools.reduce(jnp.maximum, rhits)
 
-        for sx in range(Sx):
-            # Per-tap bilinear hat weights for this shift cell. Most are
-            # identically zero — a tap only has support on the ≤4 cells
-            # bracketing its (small, trained) offset — so the expensive
-            # (tile_h, Wo, Cin) multiply-accumulates are guarded by scalar
-            # tests on the weight maxima; the weight maps themselves are
-            # tiny (tile_h, Wo) tensors, cheap to compute every cell.
-            w2s = []
-            hits = []
-            for t in range(K):
-                ti, tj = t // kw, t % kw
-                # u = sy - R - ti, v = sx - R - tj
-                wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy[..., t] - (syf - R - ti)))
-                wx = jnp.maximum(0.0, 1.0 - jnp.abs(dx[..., t] - (sx - R - tj)))
-                w2s.append(wy * wx * m[..., t])
-                hits.append(jnp.max(w2s[-1]))
-            any_hit = functools.reduce(jnp.maximum, hits)
-
-            @pl.when(any_hit > 0.0)
-            def _(sx=sx, w2s=w2s, hits=hits):
-                xs = rows[:, sx:sx + Wo, :]
+        @pl.when(row_hit > 0.0)
+        def _():
+            # rows r of this tile sample padded row (row_base + r) + sy;
+            # the row dim is a non-tiled dim so a dynamic start is free.
+            # Column shifts are UNROLLED static slices: a dynamic column
+            # start would need sublane (x8) alignment, and a second fori
+            # level costs more in loop overhead than the slices in VMEM.
+            rows = x_ref[0, pl.ds(row_base + sy, tile_h),
+                         :, :].astype(jnp.float32)
+            for sx in range(Sx):
+                # Per-tap bilinear hat weights for this cell. Most are
+                # identically zero — a tap only has support on the ≤4
+                # cells bracketing its offset — so the expensive
+                # (tile_h, Wo, Cin) multiply-accumulates are guarded by
+                # scalar tests on the weight maxima.
+                w2s = []
+                hits = []
                 for t in range(K):
-                    @pl.when(hits[t] > 0.0)
-                    def _(t=t, xs=xs, w2s=w2s):
-                        sl = slice(t * Cin, (t + 1) * Cin)
-                        acc_ref[:, :, sl] += w2s[t][..., None] * xs
+                    tj = t % kw
+                    wx = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(dx[..., t:t + 1] - (sx - R - tj)))
+                    w2s.append(wys[t] * wx * m[..., t:t + 1])
+                    hits.append(jnp.max(w2s[-1]))
+                any_hit = functools.reduce(jnp.maximum, hits)
+
+                @pl.when(any_hit > 0.0)
+                def _(sx=sx, w2s=w2s, hits=hits):
+                    xs = rows[:, sx:sx + Wo, :]
+                    for t in range(K):
+                        @pl.when(hits[t] > 0.0)
+                        def _(t=t, xs=xs, w2s=w2s):
+                            sl = slice(t * Cin, (t + 1) * Cin)
+                            acc_ref[:, :, sl] += w2s[t] * xs
 
         return 0
 
@@ -270,34 +290,50 @@ def _dcn_bwd_param_kernel(x_ref, g_ref, dy_ref, dx_ref, mask_ref, w_ref,
     sdm_ref[...] = jnp.zeros((tile_h, Wo, K), jnp.float32)
 
     def sy_body(sy, _):
-        rows = x_ref[0, pl.ds(row_base + sy, tile_h), :, :].astype(jnp.float32)
+        # Row hat weights hoisted out of the sx loop; the whole body sits
+        # behind a row-support guard. The guard is on wy ALONE, which is
+        # valid for all three outputs: wy == 0 kills d(mask) and d(dx)
+        # directly, and d(dy)'s hat' factor is defined as 0 outside the
+        # OPEN support (wyp = where(wy > 0, -sign, 0)), so a no-row-support
+        # sy contributes nothing anywhere. The per-cell guard must still
+        # NOT include the modulation mask — d(mask) needs the unmodulated
+        # product.
         syf = sy.astype(jnp.float32)
-        for sx in range(Sx):
-            # hat weights + their derivatives for every tap at this cell;
-            # the (tap, cell) support test mirrors the forward: a tap only
-            # touches the <=4 cells bracketing its offset. The guard here
-            # must NOT include the modulation mask — d(mask) needs the
-            # unmodulated product.
-            for t in range(K):
-                ti, tj = t // kw, t % kw
-                uy = dy[..., t] - (syf - R - ti)
-                ux = dx[..., t] - (sx - R - tj)
-                wy = jnp.maximum(0.0, 1.0 - jnp.abs(uy))
-                wx = jnp.maximum(0.0, 1.0 - jnp.abs(ux))
-                hit = jnp.max(wy) * jnp.max(wx)
+        uys, wys, rhits = [], [], []
+        for t in range(K):
+            ti = t // kw
+            uy = dy[..., t] - (syf - R - ti)
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(uy))
+            uys.append(uy)
+            wys.append(wy)
+            rhits.append(jnp.max(wy))
+        row_hit = functools.reduce(jnp.maximum, rhits)
 
-                @pl.when(hit > 0.0)
-                def _(t=t, wy=wy, wx=wx, uy=uy, ux=ux, sx=sx):
-                    xs = rows[:, sx:sx + Wo, :]
-                    gst = gs_ref[:, :, t * Cin:(t + 1) * Cin]
-                    dot = jnp.sum(xs * gst, axis=-1)       # (tile_h, Wo)
-                    # hat'(u) = -sign(u) on the open support, 0 outside
-                    wyp = jnp.where(wy > 0.0, -jnp.sign(uy), 0.0)
-                    wxp = jnp.where(wx > 0.0, -jnp.sign(ux), 0.0)
-                    mt = m[..., t]
-                    sdm_ref[:, :, t] += wy * wx * dot
-                    sdy_ref[:, :, t] += wyp * wx * mt * dot
-                    sdx_ref[:, :, t] += wy * wxp * mt * dot
+        @pl.when(row_hit > 0.0)
+        def _():
+            rows = x_ref[0, pl.ds(row_base + sy, tile_h),
+                         :, :].astype(jnp.float32)
+            for sx in range(Sx):
+                # per-tap support test as before: a tap only touches the
+                # <=4 cells bracketing its offset
+                for t in range(K):
+                    tj = t % kw
+                    ux = dx[..., t] - (sx - R - tj)
+                    wx = jnp.maximum(0.0, 1.0 - jnp.abs(ux))
+                    hit = rhits[t] * jnp.max(wx)
+
+                    @pl.when(hit > 0.0)
+                    def _(t=t, wy=wys[t], wx=wx, uy=uys[t], ux=ux, sx=sx):
+                        xs = rows[:, sx:sx + Wo, :]
+                        gst = gs_ref[:, :, t * Cin:(t + 1) * Cin]
+                        dot = jnp.sum(xs * gst, axis=-1)   # (tile_h, Wo)
+                        # hat'(u) = -sign(u) on the open support, 0 outside
+                        wyp = jnp.where(wy > 0.0, -jnp.sign(uy), 0.0)
+                        wxp = jnp.where(wx > 0.0, -jnp.sign(ux), 0.0)
+                        mt = m[..., t]
+                        sdm_ref[:, :, t] += wy * wx * dot
+                        sdy_ref[:, :, t] += wyp * wx * mt * dot
+                        sdx_ref[:, :, t] += wy * wxp * mt * dot
         return 0
 
     jax.lax.fori_loop(0, Sy, sy_body, 0)
@@ -331,28 +367,42 @@ def _dcn_sampled_kernel(x_ref, dy_ref, dx_ref, mask_ref, out_ref, acc_ref, *,
 
     acc_ref[...] = jnp.zeros((tile_h, Wo, K * Cin), jnp.float32)
 
+    # same hoist/hat3d/row-skip restructure as the forward kernel
     def sy_body(sy, _):
-        rows = x_ref[0, pl.ds(row_base + sy, tile_h), :, :].astype(jnp.float32)
         syf = sy.astype(jnp.float32)
-        for sx in range(Sx):
-            w2s = []
-            hits = []
-            for t in range(K):
-                ti, tj = t // kw, t % kw
-                wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy[..., t] - (syf - R - ti)))
-                wx = jnp.maximum(0.0, 1.0 - jnp.abs(dx[..., t] - (sx - R - tj)))
-                w2s.append(wy * wx * m[..., t])
-                hits.append(jnp.max(w2s[-1]))
-            any_hit = functools.reduce(jnp.maximum, hits)
+        wys = []
+        rhits = []
+        for t in range(K):
+            ti = t // kw
+            wy = jnp.maximum(
+                0.0, 1.0 - jnp.abs(dy[..., t:t + 1] - (syf - R - ti)))
+            wys.append(wy)
+            rhits.append(jnp.max(wy))
+        row_hit = functools.reduce(jnp.maximum, rhits)
 
-            @pl.when(any_hit > 0.0)
-            def _(sx=sx, w2s=w2s, hits=hits):
-                xs = rows[:, sx:sx + Wo, :]
+        @pl.when(row_hit > 0.0)
+        def _():
+            rows = x_ref[0, pl.ds(row_base + sy, tile_h),
+                         :, :].astype(jnp.float32)
+            for sx in range(Sx):
+                w2s = []
+                hits = []
                 for t in range(K):
-                    @pl.when(hits[t] > 0.0)
-                    def _(t=t, xs=xs, w2s=w2s):
-                        sl = slice(t * Cin, (t + 1) * Cin)
-                        acc_ref[:, :, sl] += w2s[t][..., None] * xs
+                    tj = t % kw
+                    wx = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(dx[..., t:t + 1] - (sx - R - tj)))
+                    w2s.append(wys[t] * wx * m[..., t:t + 1])
+                    hits.append(jnp.max(w2s[-1]))
+                any_hit = functools.reduce(jnp.maximum, hits)
+
+                @pl.when(any_hit > 0.0)
+                def _(sx=sx, w2s=w2s, hits=hits):
+                    xs = rows[:, sx:sx + Wo, :]
+                    for t in range(K):
+                        @pl.when(hits[t] > 0.0)
+                        def _(t=t, xs=xs, w2s=w2s):
+                            sl = slice(t * Cin, (t + 1) * Cin)
+                            acc_ref[:, :, sl] += w2s[t] * xs
         return 0
 
     jax.lax.fori_loop(0, Sy, sy_body, 0)
@@ -384,35 +434,47 @@ def _dcn_bwd_input_kernel(g_ref, dy_ref, dx_ref, mask_ref, w_ref,
         # padded row r = row_base + r' samples from output row r - sy,
         # which lives at zero-extended row r - sy + G0.
         start = row_base - sy + G0
-        g = g_ref[0, pl.ds(start, tile_h), :, :].astype(jnp.float32)
         dy = jnp.clip(dy_ref[0, pl.ds(start, tile_h), :, :]
                       .astype(jnp.float32), -R, R)
-        dx = jnp.clip(dx_ref[0, pl.ds(start, tile_h), :, :]
-                      .astype(jnp.float32), -R, R)
-        m = mask_ref[0, pl.ds(start, tile_h), :, :].astype(jnp.float32)
-
-        gs_ref[...] = jax.lax.dot_general(
-            g.reshape(tile_h * Wo, Cout),
-            w_ref[:].astype(jnp.float32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(tile_h, Wo, K * Cin)
-
         syf = sy.astype(jnp.float32)
-        for sx in range(Sx):
-            for t in range(K):
-                ti, tj = t // kw, t % kw
-                wy = jnp.maximum(
-                    0.0, 1.0 - jnp.abs(dy[..., t] - (syf - R - ti)))
-                wx = jnp.maximum(
-                    0.0, 1.0 - jnp.abs(dx[..., t] - (sx - R - tj)))
-                w2 = wy * wx * m[..., t]
-                hit = jnp.max(w2)
+        # row weights hoisted; the g slice AND the per-sy gs matmul sit
+        # behind the row-support guard — no tap with row support at this
+        # sy means no contribution to any input row of this tile
+        wys, rhits = [], []
+        for t in range(K):
+            ti = t // kw
+            wy = jnp.maximum(
+                0.0, 1.0 - jnp.abs(dy[..., t:t + 1] - (syf - R - ti)))
+            wys.append(wy)
+            rhits.append(jnp.max(wy))
+        row_hit = functools.reduce(jnp.maximum, rhits)
 
-                @pl.when(hit > 0.0)
-                def _(t=t, w2=w2, sx=sx):
-                    accx_ref[:, sx:sx + Wo, :] += (
-                        w2[..., None] * gs_ref[:, :, t * Cin:(t + 1) * Cin])
+        @pl.when(row_hit > 0.0)
+        def _():
+            g = g_ref[0, pl.ds(start, tile_h), :, :].astype(jnp.float32)
+            dx = jnp.clip(dx_ref[0, pl.ds(start, tile_h), :, :]
+                          .astype(jnp.float32), -R, R)
+            m = mask_ref[0, pl.ds(start, tile_h), :, :].astype(jnp.float32)
+
+            gs_ref[...] = jax.lax.dot_general(
+                g.reshape(tile_h * Wo, Cout),
+                w_ref[:].astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(tile_h, Wo, K * Cin)
+
+            for sx in range(Sx):
+                for t in range(K):
+                    tj = t % kw
+                    wx = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(dx[..., t:t + 1] - (sx - R - tj)))
+                    w2 = wys[t] * wx * m[..., t:t + 1]
+                    hit = jnp.max(w2)
+
+                    @pl.when(hit > 0.0)
+                    def _(t=t, w2=w2, sx=sx):
+                        accx_ref[:, sx:sx + Wo, :] += (
+                            w2 * gs_ref[:, :, t * Cin:(t + 1) * Cin])
         return 0
 
     jax.lax.fori_loop(0, Sy, sy_body, 0)
@@ -642,22 +704,189 @@ deform_conv2d_pallas.defvjp(_fwd, _bwd)
 
 
 # --------------------------------------------------------------------------- #
-# Stride-2 DCN with scatter-free backward
+# Stride-2 DCN: parity-view Pallas forward + scatter-free backward
 # --------------------------------------------------------------------------- #
 #
 # The three stride-2 DCN layers (first bottleneck of each ResNet stage)
-# keep the clipped-offset gather FORWARD — it is fast at inference — but
-# its autodiff backward scatters, and at the 960² c3 resolution that
-# scatter alone costs ~0.5-1 s per layer per step. The identity
+# cannot reuse the stride-1 kernel directly: output row i samples padded
+# row 2i + s, and Mosaic rejects strided vector slices. The parity
+# decomposition removes the stride instead of expressing it: pre-cut the
+# padded input into its four (row, col) parity views
+#
+#   x_pq[r, c] = xp[2r + p, 2c + q],   p, q in {0, 1}
+#
+# and padded position (2i + sy, 2j + sx) becomes view (sy % 2, sx % 2)
+# at (i + sy//2, j + sx//2) — a plain dynamic row start plus a STATIC
+# column slice, the exact structure the stride-1 kernel uses. The row
+# parity is dynamic under a single sy fori_loop, so the kernel runs two
+# loops (even sy, odd sy) with the view choice static in each; column
+# parity follows the unrolled sx and is always static. Same hat-weight
+# math, guards, and accumulator as `_dcn_kernel` (round 3 kept a
+# clipped-offset gather forward here; measured vs that gather this
+# kernel is ~1.4-2x faster per layer at 960², `tools/profile_dcn.py`).
+#
+# The backward stays on the even-grid identity
 #
 #   dcn_s2(x, off, m, w)[i, j] == dcn_s1(x, up2(off), up2(m), w)[2i, 2j]
 #
 # (the stride-2 base grid at (2i - p, 2j - p) IS the stride-1 grid at
-# even positions) lets the backward run through the stride-1 Pallas
-# kernels instead: zero-interleave the cotangent to the full grid, call
-# the Pallas backward, slice the even positions of the offset/mask
-# grads. ~4x redundant kernel work (odd positions carry zero gradient)
-# but no scatter anywhere — ~10x faster than the gather transpose.
+# even positions): zero-interleave the cotangent to the full grid, call
+# the stride-1 Pallas backward, slice the even positions of the
+# offset/mask grads. ~4x redundant kernel work (odd positions carry zero
+# gradient) but no scatter anywhere — ~10x faster than the gather
+# transpose.
+
+
+def _dcn_s2_kernel(x00_ref, x01_ref, x10_ref, x11_ref,
+                   dy_ref, dx_ref, mask_ref, w_ref, out_ref, acc_ref, *,
+                   R: int, K: int, kh: int, kw: int,
+                   tile_h: int, Wo: int, Cin: int, Cout: int):
+    # x_pq refs: (1, vr, vc, Cin) parity views of the padded input,
+    #   VMEM-resident across row tiles (index map ignores the tile dim).
+    # dy/dx/mask: (1, tile_h, Wo, K); w: (K*Cin, Cout); out like stride-1.
+    i = pl.program_id(1)
+    row_base = i * tile_h
+
+    dy = jnp.clip(dy_ref[0].astype(jnp.float32), -R, R)
+    dx = jnp.clip(dx_ref[0].astype(jnp.float32), -R, R)
+    m = mask_ref[0].astype(jnp.float32)
+
+    Sy = kh + 2 * R + 1
+    Sx = kw + 2 * R + 1
+
+    acc_ref[...] = jnp.zeros((tile_h, Wo, K * Cin), jnp.float32)
+
+    def make_body(p, col_refs):
+        # one body per row parity so the (static) view refs differ only
+        # by p; a = sy // 2 is the loop variable, sy = 2a + p. Same
+        # hoist/hat3d/row-skip restructure as the stride-1 kernel.
+        def body(a, _):
+            syf = (2 * a + p).astype(jnp.float32)
+            wys = []
+            rhits = []
+            for t in range(K):
+                ti = t // kw
+                wy = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(dy[..., t:t + 1] - (syf - R - ti)))
+                wys.append(wy)
+                rhits.append(jnp.max(wy))
+            row_hit = functools.reduce(jnp.maximum, rhits)
+
+            @pl.when(row_hit > 0.0)
+            def _():
+                rows0 = col_refs[0][0, pl.ds(row_base + a, tile_h),
+                                    :, :].astype(jnp.float32)
+                rows1 = col_refs[1][0, pl.ds(row_base + a, tile_h),
+                                    :, :].astype(jnp.float32)
+                for sx in range(Sx):
+                    b0 = sx // 2
+                    w2s = []
+                    hits = []
+                    for t in range(K):
+                        tj = t % kw
+                        wx = jnp.maximum(
+                            0.0,
+                            1.0 - jnp.abs(dx[..., t:t + 1] - (sx - R - tj)))
+                        w2s.append(wys[t] * wx * m[..., t:t + 1])
+                        hits.append(jnp.max(w2s[-1]))
+                    any_hit = functools.reduce(jnp.maximum, hits)
+
+                    @pl.when(any_hit > 0.0)
+                    def _(sx=sx, b0=b0, w2s=w2s, hits=hits):
+                        xs = (rows1 if sx % 2 else rows0)[:, b0:b0 + Wo, :]
+                        for t in range(K):
+                            @pl.when(hits[t] > 0.0)
+                            def _(t=t, xs=xs, w2s=w2s):
+                                sl = slice(t * Cin, (t + 1) * Cin)
+                                acc_ref[:, :, sl] += w2s[t] * xs
+            return 0
+
+        return body
+
+    jax.lax.fori_loop(0, (Sy + 1) // 2, make_body(0, (x00_ref, x01_ref)), 0)
+    jax.lax.fori_loop(0, Sy // 2, make_body(1, (x10_ref, x11_ref)), 0)
+
+    out = jax.lax.dot_general(
+        acc_ref[...].reshape(tile_h * Wo, K * Cin),
+        w_ref[:].astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0] = out.reshape(tile_h, Wo, Cout).astype(out_ref.dtype)
+
+
+def _dcn_s2_pallas_fwd(x, offset, mask, weight, padding, radius, tile_h):
+    B, H, W, Cin = x.shape
+    kh, kw, _, Cout = weight.shape
+    K = kh * kw
+    Ho, Wo = offset.shape[1], offset.shape[2]
+    R = radius
+    Sy = kh + 2 * R + 1
+    Sx = kw + 2 * R + 1
+
+    n_tiles = -(-Ho // tile_h)
+    Ho_pad = n_tiles * tile_h
+
+    # Output (i, j) samples padded (2i + sy, 2j + sx); padded row r maps
+    # to original row r - pad_lo.
+    pad_lo = R + padding
+    need_rows = 2 * (Ho_pad - 1) + Sy
+    need_cols = 2 * (Wo - 1) + Sx
+    xp = jnp.pad(x, ((0, 0),
+                     (pad_lo, max(need_rows - pad_lo - H, 0)),
+                     (pad_lo, max(need_cols - pad_lo - W, 0)),
+                     (0, 0)))
+
+    # Parity views, padded so every kernel slice is in range: rows up to
+    # row_base_max + (Sy-1)//2 + tile_h, cols up to (Sx-1)//2 + Wo.
+    vr = Ho_pad + (Sy + 1) // 2
+    vc = Wo + (Sx + 1) // 2
+    vc = -(-vc // 8) * 8   # 8-aligned sublane dim for clean VMEM tiling
+    views = []
+    for p in (0, 1):
+        for q in (0, 1):
+            v = xp[:, p::2, q::2, :]
+            v = jnp.pad(v, ((0, 0),
+                            (0, max(vr - v.shape[1], 0)),
+                            (0, max(vc - v.shape[2], 0)),
+                            (0, 0)))[:, :vr, :vc]
+            views.append(v)
+
+    if Ho_pad != Ho:
+        offset = jnp.pad(offset, ((0, 0), (0, Ho_pad - Ho), (0, 0), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, Ho_pad - Ho), (0, 0), (0, 0)))
+    dy = offset[..., 0::2]
+    dx = offset[..., 1::2]
+
+    kernel = functools.partial(
+        _dcn_s2_kernel, R=R, K=K, kh=kh, kw=kw,
+        tile_h=tile_h, Wo=Wo, Cin=Cin, Cout=Cout,
+    )
+    view_spec = pl.BlockSpec((1, vr, vc, Cin), lambda b, i: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((1, tile_h, Wo, K), lambda b, i: (b, i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[
+            view_spec, view_spec, view_spec, view_spec,
+            tile_spec, tile_spec, tile_spec,
+            pl.BlockSpec((K * Cin, Cout), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h, Wo, Cout),
+                               lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Ho_pad, Wo, Cout), x.dtype),
+        scratch_shapes=[pltpu.VMEM((tile_h, Wo, K * Cin), jnp.float32)],
+        # the four resident views total ~4x a stride-1 layer's resident
+        # input and Pallas double-buffers them across the batch grid dim,
+        # so the stride-2 kernel gets a higher cap than _DCN_COMPILER_PARAMS
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(*views, dy, dx, mask, weight.reshape(K * Cin, Cout))
+    return out[:, :Ho]
 
 
 def _up2(a):
@@ -667,18 +896,17 @@ def _up2(a):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def deform_conv2d_s2_pallas(x, offset, mask, weight, padding=1, radius=3,
                             tile_h=8):
-    """Stride-2 bounded-offset DCN: gather forward, Pallas backward."""
-    from ocr_vi_invoice_tpu.ops.dcn import deform_conv2d
-
-    return deform_conv2d(
-        x, jnp.clip(offset, -radius, radius), mask, weight,
-        stride=2, padding=padding,
-    )
+    """Stride-2 bounded-offset DCN: parity-view Pallas forward + Pallas
+    backward (via the even-grid identity). Semantics match
+    `deform_conv2d` with clipped offsets — bilinear interpolation of a
+    clipped offset IS the hat decomposition the kernel computes."""
+    return _dcn_s2_pallas_fwd(x, offset, mask, weight, padding, radius,
+                              tile_h)
 
 
 def _s2_fwd(x, offset, mask, weight, padding, radius, tile_h):
-    out = deform_conv2d_s2_pallas(x, offset, mask, weight, padding, radius,
-                                  tile_h)
+    out = _dcn_s2_pallas_fwd(x, offset, mask, weight, padding, radius,
+                             tile_h)
     return out, (x, offset, mask, weight)
 
 

@@ -149,14 +149,15 @@ class FusedOCR:
             # polygon path provides for rotated text.
             return extract_boxes(
                 prob, pp.thresh, pp.box_thresh, pp.unclip_ratio, pp.min_area,
-                max_boxes=K, with_quads=True,
+                max_boxes=K, with_quads=True, with_overflow=True,
             )
 
         def run(det_vars, rec_vars, image_f32):
-            boxes, scores, valid, quads = per_image(det_vars, image_f32)
+            boxes, scores, valid, quads, overflow = per_image(
+                det_vars, image_f32)
             ids = rec_ids(rec_vars, image_f32[None],
                           jnp.zeros((K,), jnp.int32), boxes, valid)
-            return boxes, scores, valid, quads, ids
+            return boxes, scores, valid, quads, ids, overflow
 
         def run_batch(det_vars, rec_vars, images_f32):
             """(B, H, W, 3) stack. Detection vmaps over the stack; then all
@@ -169,7 +170,7 @@ class FusedOCR:
             scatters ids back to per-image slots, so results are
             position-identical to the uncompacted program."""
             B = images_f32.shape[0]
-            boxes, scores, valid, quads = jax.vmap(
+            boxes, scores, valid, quads, overflow = jax.vmap(
                 per_image, in_axes=(None, 0))(det_vars, images_f32)
             N = B * K
             boxes_f = boxes.reshape(N, 4)
@@ -180,7 +181,7 @@ class FusedOCR:
                                  boxes_f[order], valid_f[order])
             inv = jnp.argsort(order)
             ids = ids_sorted[inv].reshape(B, K, T)
-            return boxes, scores, valid, quads, ids
+            return boxes, scores, valid, quads, ids, overflow
 
         self._run = run  # unjitted; bench.py wraps it in a timing loop
         self._run_batch = run_batch  # unjitted, for the bench batch loop
@@ -207,10 +208,18 @@ class FusedOCR:
             self._data_size = 1
 
     def __call__(self, image_rgb: np.ndarray) -> List[Dict]:
-        """Run on one image (already resized to the det bucket)."""
+        """Run on one image (already resized to the det bucket).
+
+        Capacity-truncation counters from `extract_boxes` (runs dropped at
+        row/global capacity, components dropped at box capacity) land in
+        ``self.last_overflow`` (int (3,)) after every call — all zeros on
+        normal pages; nonzero means the box list is incomplete (e.g.
+        sand-grain-noise defects) and the caller should retry with larger
+        capacities or flag the page.
+        """
         import jax.numpy as jnp
 
-        boxes, scores, valid, quads, ids = self._program(
+        boxes, scores, valid, quads, ids, overflow = self._program(
             self.det_vars, self.rec_vars,
             jnp.asarray(image_rgb, jnp.float32),
         )
@@ -219,6 +228,7 @@ class FusedOCR:
         valid = np.asarray(valid)
         quads = np.asarray(quads)
         ids = np.asarray(ids)
+        self.last_overflow = np.asarray(overflow)
         texts = self.tokenizer.decode_ctc_greedy(ids)
         return [
             {"box": boxes[i].tolist(), "quad": quads[i].tolist(),
@@ -240,7 +250,7 @@ class FusedOCR:
             raise ValueError(
                 f"batch size {images_rgb.shape[0]} must be a multiple of "
                 f"the mesh data axis ({self._data_size})")
-        boxes, scores, valid, quads, ids = self._batch_program(
+        boxes, scores, valid, quads, ids, overflow = self._batch_program(
             self.det_vars, self.rec_vars,
             jnp.asarray(images_rgb, jnp.float32),
         )
@@ -249,6 +259,7 @@ class FusedOCR:
         valid = np.asarray(valid)
         quads = np.asarray(quads)
         ids = np.asarray(ids)
+        self.last_overflow = np.asarray(overflow)  # (B, 3)
         out: List[List[Dict]] = []
         for b in range(images_rgb.shape[0]):
             texts = self.tokenizer.decode_ctc_greedy(ids[b])

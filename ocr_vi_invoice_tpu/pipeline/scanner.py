@@ -57,9 +57,12 @@ def four_point_transform(image: np.ndarray, pts: np.ndarray) -> np.ndarray:
 
 def _clahe_gray(l: np.ndarray, clip_limit: float = 2.0,
                 grid: int = 8) -> np.ndarray:
-    """First-party CLAHE (numpy): per-tile clipped histograms with excess
-    redistribution, bilinear interpolation between the tile LUTs — the
-    same construction as cv2.createCLAHE(2.0, (8, 8))."""
+    """First-party CLAHE-style equalization (numpy): per-tile clipped
+    histograms with single-pass excess redistribution (excess//256 added
+    uniformly, remainder dropped, so bins may exceed the clip after
+    redistribution — cv2 redistributes iteratively), bilinear
+    interpolation between the tile LUTs. Output therefore differs
+    slightly from cv2.createCLAHE(2.0, (8, 8)); see PARITY.md."""
     h, w = l.shape
     th, tw = -(-h // grid), -(-w // grid)
     ph, pw = th * grid - h, tw * grid - w
@@ -105,14 +108,42 @@ def _conv3x3(img: np.ndarray, k: np.ndarray) -> np.ndarray:
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
-def enhance_document(image_rgb: np.ndarray) -> np.ndarray:
-    """CLAHE on the luma + denoise + sharpen (`scanner.py:55-76`).
+def _bilateral_rgb(img: np.ndarray, radius: int = 3,
+                   sigma_s: float = 2.0, sigma_r: float = 25.0) -> np.ndarray:
+    """First-party edge-preserving denoise: joint bilateral filter guided
+    by the BT.601 luma (spatial Gaussian x luma-range Gaussian over a
+    (2r+1)² window, vectorized as shifted-window accumulation). Stands in
+    for the reference's cv2.fastNlMeansDenoisingColored — same role
+    (smooth flat regions, keep text edges), different weighting; the
+    divergence is recorded in PARITY.md."""
+    imgf = img.astype(np.float32)
+    luma = 0.299 * imgf[..., 0] + 0.587 * imgf[..., 1] + 0.114 * imgf[..., 2]
+    r = radius
+    pi = np.pad(imgf, ((r, r), (r, r), (0, 0)), mode="edge")
+    pl = np.pad(luma, r, mode="edge")
+    h, w = luma.shape
+    acc = np.zeros_like(imgf)
+    wacc = np.zeros((h, w), np.float32)
+    inv2ss = 1.0 / (2.0 * sigma_s * sigma_s)
+    inv2sr = 1.0 / (2.0 * sigma_r * sigma_r)
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            ws = np.exp(-(dy * dy + dx * dx) * inv2ss)
+            ls = pl[r + dy:r + dy + h, r + dx:r + dx + w]
+            wr = np.exp(-((ls - luma) ** 2) * inv2sr) * ws
+            acc += wr[..., None] * pi[r + dy:r + dy + h, r + dx:r + dx + w]
+            wacc += wr
+    return np.clip(np.round(acc / wacc[..., None]), 0, 255).astype(np.uint8)
 
-    CLAHE and the sharpen filter are first-party (numpy); the luma is
-    BT.601 Y rather than cv2's LAB L (visually equivalent contrast
-    target). Only the non-local-means denoise still uses cv2 when
-    available — an NLM with cv2's exact weighting is not practical in
-    numpy at document sizes — and is skipped otherwise.
+
+def enhance_document(image_rgb: np.ndarray) -> np.ndarray:
+    """CLAHE-style contrast + denoise + sharpen (`scanner.py:55-76`).
+
+    Fully first-party (numpy): the contrast step applies a BT.601-luma
+    gain rather than cv2's LAB L-channel replacement, and the denoise is
+    a luma-guided bilateral filter rather than cv2's non-local means —
+    both deviations are documented in PARITY.md. No cv2 anywhere on this
+    path (poison-tested).
     """
     img = np.ascontiguousarray(image_rgb, np.uint8)
     luma = (0.299 * img[..., 0] + 0.587 * img[..., 1]
@@ -121,13 +152,7 @@ def enhance_document(image_rgb: np.ndarray) -> np.ndarray:
     gain = (eq.astype(np.float32) + 1.0) / (luma.astype(np.float32) + 1.0)
     enhanced = np.clip(img.astype(np.float32) * gain[..., None], 0, 255
                        ).astype(np.uint8)
-    try:
-        import cv2 as _cv2
-
-        enhanced = _cv2.fastNlMeansDenoisingColored(
-            enhanced, None, 10, 10, 7, 21)
-    except Exception:
-        pass  # denoise is cosmetic; proceed without it
+    enhanced = _bilateral_rgb(enhanced)
     kernel = np.array([[-1, -1, -1], [-1, 9, -1], [-1, -1, -1]], np.float32)
     return _conv3x3(enhanced, kernel)
 
@@ -199,18 +224,84 @@ def _u2net_mask(image_rgb: np.ndarray, weights_path: Optional[str]) -> Optional[
         return None
 
 
+def _canny(gray: np.ndarray, lo: float = 50.0, hi: float = 150.0) -> np.ndarray:
+    """First-party Canny (numpy + scipy.ndimage for the hysteresis
+    labeling): Sobel gradients, L1 magnitude (cv2's default
+    L2gradient=False), 4-direction non-maximum suppression, double
+    threshold with connected-component hysteresis."""
+    from scipy import ndimage
+
+    g = gray.astype(np.float32)
+    gp = np.pad(g, 1, mode="edge")
+    h, w = g.shape
+
+    def sh(dy, dx):
+        return gp[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+
+    gx = ((sh(-1, 1) + 2 * sh(0, 1) + sh(1, 1))
+          - (sh(-1, -1) + 2 * sh(0, -1) + sh(1, -1)))
+    gy = ((sh(1, -1) + 2 * sh(1, 0) + sh(1, 1))
+          - (sh(-1, -1) + 2 * sh(-1, 0) + sh(-1, 1)))
+    mag = np.abs(gx) + np.abs(gy)
+
+    # NMS: keep pixels that are maxima along the quantized gradient dir
+    ang = np.mod(np.degrees(np.arctan2(gy, gx)), 180.0)
+    mp = np.pad(mag, 1)
+
+    def nb(dy, dx):
+        return mp[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+
+    d0 = (ang < 22.5) | (ang >= 157.5)          # horizontal gradient
+    d45 = (ang >= 22.5) & (ang < 67.5)
+    d90 = (ang >= 67.5) & (ang < 112.5)
+    d135 = (ang >= 112.5) & (ang < 157.5)
+    keep = (
+        (d0 & (mag >= nb(0, 1)) & (mag >= nb(0, -1)))
+        | (d45 & (mag >= nb(1, 1)) & (mag >= nb(-1, -1)))
+        | (d90 & (mag >= nb(1, 0)) & (mag >= nb(-1, 0)))
+        | (d135 & (mag >= nb(1, -1)) & (mag >= nb(-1, 1)))
+    )
+    nms = np.where(keep, mag, 0.0)
+    weak = nms >= lo
+    strong = nms >= hi
+    labels, _ = ndimage.label(weak, structure=np.ones((3, 3), int))
+    strong_ids = np.unique(labels[strong])
+    strong_ids = strong_ids[strong_ids > 0]
+    return (np.isin(labels, strong_ids).astype(np.uint8)) * 255
+
+
 def _classical_mask(image_rgb: np.ndarray) -> np.ndarray:
-    """Edge-based fallback: Canny -> dilate -> filled largest contour."""
-    gray = cv2.cvtColor(image_rgb, cv2.COLOR_RGB2GRAY)
-    blur = cv2.GaussianBlur(gray, (5, 5), 0)
-    edges = cv2.Canny(blur, 50, 150)
-    edges = cv2.dilate(edges, np.ones((5, 5), np.uint8), iterations=2)
-    mask = np.zeros_like(gray)
-    contours, _ = cv2.findContours(edges, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
-    if contours:
-        big = max(contours, key=cv2.contourArea)
-        cv2.fillPoly(mask, [big], 255)
-    return mask
+    """Edge-based fallback when no scanner weights are available:
+    Canny -> dilate -> filled largest contour. First-party end to end
+    (numpy Sobel/NMS/hysteresis + native contour trace + native
+    fill_poly); scipy.ndimage does the hysteresis labeling and the
+    dilation — no cv2 (poison-tested)."""
+    from scipy import ndimage
+
+    gray = (0.299 * image_rgb[..., 0] + 0.587 * image_rgb[..., 1]
+            + 0.114 * image_rgb[..., 2]).astype(np.float32)
+    # 5-tap Gaussian (cv2's ksize-5 sigma: 0.3*((5-1)*0.5 - 1) + 0.8 = 1.1)
+    x = np.arange(5, dtype=np.float32) - 2
+    k = np.exp(-(x * x) / (2 * 1.1 * 1.1))
+    k /= k.sum()
+    gpad = np.pad(gray, 2, mode="reflect")
+    blur = sum(k[i] * gpad[i:i + gray.shape[0], 2:2 + gray.shape[1]]
+               for i in range(5))
+    bpad = np.pad(blur, ((0, 0), (2, 2)), mode="reflect")
+    blur = sum(k[i] * bpad[:, i:i + gray.shape[1]] for i in range(5))
+
+    edges = _canny(blur, 50.0, 150.0)
+    edges = ndimage.binary_dilation(
+        edges > 0, structure=np.ones((5, 5), bool), iterations=2)
+
+    from ocr_vi_invoice_tpu import native
+
+    mask8 = edges.astype(np.uint8) * 255
+    contours = native.find_contours(mask8)
+    if not contours:
+        return np.zeros(gray.shape, np.uint8)
+    big = max(contours, key=native.polygon_area)
+    return native.fill_poly(gray.shape, big).astype(np.uint8) * 255
 
 
 def find_document_contour(

@@ -2,10 +2,26 @@
 
 Production-shaped counterpart of the reference's per-image loop
 (`pipeline2.py:279`): images are decoded/resized by host prefetch threads
-into the fixed detection bucket while the previous image's fused program
-(det -> boxes -> crops -> rec) runs on the TPU, so host IO and device
-compute overlap. Emits one JSON per image plus an aggregate
-invoices/sec figure.
+while the previous image's fused program (det -> boxes -> crops -> rec)
+runs on the TPU, so host IO and device compute overlap. Emits one JSON
+per image plus an aggregate invoices/sec figure.
+
+Size buckets: the reference resizes every image to its own /32 geometry
+(`src/det/test.py:109-121`) — one compile per distinct size under XLA.
+Here images route to a small set of detection buckets (``--det_sizes``,
+e.g. 640,960,1280): each image goes to the smallest bucket that holds
+its longest side (aspect-preserving letterbox, like the host path), one
+compiled ``FusedOCR`` program per bucket (built lazily, so a directory
+that only needs one bucket pays one compile), batches grouped per
+bucket. Mixed-size corpora pay neither global distortion nor
+worst-case-bucket padding.
+
+Per-image JSON: ``{"results": [...], "bucket": N, "overflow": [r, g, c]}``
+where ``overflow`` counts capacity truncation inside `ops/cc.extract_boxes`
+(runs dropped at row capacity, runs dropped at global capacity,
+components dropped at box capacity) — all zeros on normal pages; nonzero
+means the box list is incomplete (pathological pages, e.g. sand-grain
+noise) and the page should be retried with larger ``--max_boxes``.
 
   python -m ocr_vi_invoice_tpu.pipeline.serve --input_dir imgs \
       --det_ckpt weights/det/best_model --rec_ckpt weights/rec2/best_model
@@ -19,7 +35,7 @@ import queue
 import threading
 import time
 from pathlib import Path
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 import cv2
 import numpy as np
@@ -28,7 +44,23 @@ from ocr_vi_invoice_tpu.pipeline.postprocess import resize_image_for_det
 from ocr_vi_invoice_tpu.utils.config import PipelineConfig
 
 
-def _prefetch(paths: List[Path], det_size: int, q: "queue.Queue", threads: int = 2):
+def pick_bucket(h: int, w: int, det_sizes: List[int]) -> int:
+    """Smallest bucket that holds the image's longest side without
+    upscaling-from-bucket distortion; images larger than every bucket
+    downscale into the largest (same as the single-bucket behavior)."""
+    long_side = max(h, w)
+    for s in sorted(det_sizes):
+        if long_side <= s:
+            return s
+    return max(det_sizes)
+
+
+def _prefetch(paths: List[Path], det_sizes, q: "queue.Queue",
+              threads: int = 2):
+    """det_sizes: an int (single bucket, back-compat) or a list of bucket
+    sizes; each queue item carries the chosen bucket."""
+    if isinstance(det_sizes, int):
+        det_sizes = [det_sizes]
     idx_q: "queue.Queue" = queue.Queue()
     for p in paths:
         idx_q.put(p)
@@ -41,13 +73,15 @@ def _prefetch(paths: List[Path], det_size: int, q: "queue.Queue", threads: int =
                 return
             bgr = cv2.imread(str(p))
             if bgr is None:
-                q.put((p, None, None))
+                q.put((p, None, None, 0))
                 continue
             rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
-            resized, scales = resize_image_for_det(rgb, det_size)
-            canvas = np.zeros((det_size, det_size, 3), np.float32)
+            bucket = pick_bucket(rgb.shape[0], rgb.shape[1], det_sizes)
+            resized, scales = resize_image_for_det(rgb, bucket)
+            canvas = np.zeros((bucket, bucket, 3), np.float32)
             canvas[: resized.shape[0], : resized.shape[1]] = resized
-            q.put((p, canvas, (scales, resized.shape[:2], rgb.shape[:2])))
+            q.put((p, canvas,
+                   (scales, resized.shape[:2], rgb.shape[:2]), bucket))
 
     workers = [threading.Thread(target=work, daemon=True) for _ in range(threads)]
     for w in workers:
@@ -67,7 +101,13 @@ def main(argv=None):
     ap.add_argument("--det_ckpt", default=None)
     ap.add_argument("--rec_ckpt", default=None)
     ap.add_argument("--output_dir", default="outputs/serve")
-    ap.add_argument("--det_size", type=int, default=960)
+    ap.add_argument("--det_size", type=int, default=960,
+                    help="single detection bucket (back-compat; ignored "
+                         "when --det_sizes is given)")
+    ap.add_argument("--det_sizes", default=None,
+                    help="comma-separated bucket sizes, e.g. 640,960,1280: "
+                         "each image routes to the smallest bucket holding "
+                         "its longest side; one compiled program per bucket")
     ap.add_argument("--max_boxes", type=int, default=256)
     ap.add_argument("--box_thresh", type=float, default=0.5)
     ap.add_argument("--unclip_ratio", type=float, default=1.6)
@@ -76,8 +116,17 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=1,
                     help=">1: run the fused program vmapped over image "
                          "stacks sharded across the device mesh's data "
-                         "axis (must be a multiple of the data-axis size)")
+                         "axis (must be a multiple of the data-axis size); "
+                         "batches group per bucket")
     args = ap.parse_args(argv)
+
+    if args.det_sizes:
+        det_sizes = sorted({int(s) for s in args.det_sizes.split(",")})
+    else:
+        det_sizes = [args.det_size]
+    for s in det_sizes:
+        if s % 32 != 0:
+            raise SystemExit(f"bucket size {s} must be a multiple of 32")
 
     from ocr_vi_invoice_tpu.train.checkpoint import shipped_checkpoint
 
@@ -93,10 +142,6 @@ def main(argv=None):
     from ocr_vi_invoice_tpu.utils.profiling import enable_compilation_cache
 
     enable_compilation_cache()
-
-    cfg = PipelineConfig(det_image_size=args.det_size, max_boxes=args.max_boxes)
-    cfg.postprocess.box_thresh = args.box_thresh
-    cfg.postprocess.unclip_ratio = args.unclip_ratio
 
     def load_or_zeros(ckpt, build):
         if ckpt:
@@ -116,7 +161,7 @@ def main(argv=None):
     det_vars, det_meta = load_or_zeros(
         args.det_ckpt,
         lambda: DBNetPP(dcn=True, dtype=jnp.bfloat16).init(
-            key, jnp.zeros((1, args.det_size, args.det_size, 3), jnp.bfloat16)
+            key, jnp.zeros((1, det_sizes[0], det_sizes[0], 3), jnp.bfloat16)
         ),
     )
     rec_vars, rec_meta = load_or_zeros(
@@ -136,12 +181,24 @@ def main(argv=None):
             raise SystemExit(
                 f"--batch_size {args.batch_size} must be a multiple of the "
                 f"mesh data axis ({mesh.shape['data']})")
-    fused = FusedOCR(
-        det_vars, rec_vars, cfg,
-        rec_variant=rec_meta.get("variant", args.rec_variant),
-        dcn_mode=inference_dcn_mode(det_meta.get("dcn_mode", "gather")),
-        mesh=mesh,
-    )
+
+    engines: Dict[int, FusedOCR] = {}
+
+    def engine(bucket: int) -> FusedOCR:
+        # lazy per-bucket construction: a directory that only ever routes
+        # to one bucket pays exactly one compile
+        if bucket not in engines:
+            cfg = PipelineConfig(det_image_size=bucket,
+                                 max_boxes=args.max_boxes)
+            cfg.postprocess.box_thresh = args.box_thresh
+            cfg.postprocess.unclip_ratio = args.unclip_ratio
+            engines[bucket] = FusedOCR(
+                det_vars, rec_vars, cfg,
+                rec_variant=rec_meta.get("variant", args.rec_variant),
+                dcn_mode=inference_dcn_mode(det_meta.get("dcn_mode", "gather")),
+                mesh=mesh,
+            )
+        return engines[bucket]
 
     paths = sorted(
         p for p in Path(args.input_dir).iterdir()
@@ -151,12 +208,14 @@ def main(argv=None):
     out_dir.mkdir(parents=True, exist_ok=True)
 
     q: "queue.Queue" = queue.Queue(maxsize=4)
-    _prefetch(paths, args.det_size, q, args.prefetch_threads)
+    _prefetch(paths, det_sizes, q, args.prefetch_threads)
 
     n_done = 0
     t0 = time.time()
+    bucket_stats: Dict[int, Dict[str, float]] = {
+        s: {"images": 0, "seconds": 0.0} for s in det_sizes}
 
-    def emit(p, results, meta):
+    def emit(p, results, meta, bucket, overflow):
         nonlocal n_done, t0
         # rescale boxes from bucket coords to original image coords
         (sh, sw), (rh, rw), (oh, ow) = meta
@@ -168,44 +227,77 @@ def main(argv=None):
                 float(np.clip(x1 / sw, 0, ow - 1)),
                 float(np.clip(y1 / sh, 0, oh - 1)),
             ]
+        doc = {"results": results, "bucket": bucket,
+               "overflow": [int(v) for v in overflow]}
+        if any(doc["overflow"]):
+            print(f"{p.name}: capacity overflow {doc['overflow']} "
+                  f"(runs@row, runs@global, components) — box list is "
+                  f"incomplete; retry with larger --max_boxes")
         with open(out_dir / f"{p.stem}.json", "w", encoding="utf-8") as f:
-            json.dump(results, f, ensure_ascii=False)
+            json.dump(doc, f, ensure_ascii=False)
         n_done += 1
         if n_done == 1:
             t0 = time.time()  # exclude compile from the rate
 
-    group: List = []  # (path, canvas, meta) awaiting a full batch
+    def flush(bucket: int, group: List):
+        eng = engine(bucket)
+        tb = time.time()
+        if args.batch_size <= 1:
+            for p, canvas, meta in group:
+                results = eng(canvas)
+                emit(p, results, meta, bucket, eng.last_overflow)
+        else:
+            real = len(group)
+            stack = np.stack(
+                [g[1] for g in group]
+                + [np.zeros((bucket, bucket, 3), np.float32)]
+                * (args.batch_size - real)
+            )
+            batched = eng.batch(stack)
+            for (p, _, meta), results, ovf in zip(
+                    group, batched[:real], eng.last_overflow[:real]):
+                emit(p, results, meta, bucket, ovf)
+        bucket_stats[bucket]["images"] += len(group)
+        bucket_stats[bucket]["seconds"] += time.time() - tb
+
+    groups: Dict[int, List] = {s: [] for s in det_sizes}
+    group_size = max(args.batch_size, 1)
     while True:
         item = q.get()
         if item is not None:
-            p, canvas, meta = item
+            p, canvas, meta, bucket = item
             if canvas is None:
                 print(f"{p.name}: unreadable, skipped")
                 continue
-            if args.batch_size <= 1:
-                emit(p, fused(canvas), meta)
-                continue
-            group.append((p, canvas, meta))
-        if item is None or len(group) == args.batch_size:
-            if group:
-                # pad the final partial group with blank canvases, then
-                # drop the padded rows' results
-                real = len(group)
-                stack = np.stack(
-                    [g[1] for g in group]
-                    + [np.zeros_like(group[0][1])] * (args.batch_size - real)
-                )
-                for (p, _, meta), results in zip(
-                        group, fused.batch(stack)[:real]):
-                    emit(p, results, meta)
-                group = []
-            if item is None:
-                break
+            groups[bucket].append((p, canvas, meta))
+            if len(groups[bucket]) == group_size:
+                flush(bucket, groups[bucket])
+                groups[bucket] = []
+        else:
+            for bucket, group in groups.items():
+                if group:
+                    flush(bucket, group)
+            break
 
     dt = max(time.time() - t0, 1e-9)
     rate = max(n_done - 1, 0) / dt
+    summary = {
+        "images": n_done,
+        "invoices_per_sec": round(rate, 3),
+        "buckets": {
+            str(s): {
+                "images": int(v["images"]),
+                "invoices_per_sec": round(
+                    v["images"] / v["seconds"], 3) if v["seconds"] else None,
+            }
+            for s, v in bucket_stats.items() if v["images"]
+        },
+    }
     print(f"Processed {n_done}/{len(paths)} images; "
           f"steady-state {rate:.2f} invoices/s")
+    print(json.dumps(summary))
+    with open(out_dir / "_summary.json", "w", encoding="utf-8") as f:
+        json.dump(summary, f)
 
 
 if __name__ == "__main__":

@@ -67,9 +67,10 @@ def main(argv=None):
     from ocr_vi_invoice_tpu.parallel.mesh import device_prefetch, make_mesh
     from ocr_vi_invoice_tpu.train.checkpoint import CheckpointManager, load_weights
     from ocr_vi_invoice_tpu.train.schedules import (
+        det_finetune_phase_head_schedule,
         det_finetune_phase_optimizer,
+        det_freeze_phase_head_schedule,
         det_freeze_phase_optimizer,
-        onecycle,
     )
     from ocr_vi_invoice_tpu.train.steps import (
         TrainState,
@@ -227,18 +228,22 @@ def main(argv=None):
         """Head-group LR at the end of ``epoch_done`` — the same schedule
         position the optimizer just stepped to (deterministic in the CLI
         args, like build_tx), logged per epoch like the reference
-        (`src/det/train.py:192-196`)."""
+        (`src/det/train.py:192-196`). Derived from the SAME schedule
+        constructors the optimizers are built from (schedules.py
+        `det_*_phase_head_schedule`), so a schedule-constant change can't
+        silently diverge the logged column."""
         if freeze > 0 and epoch_done < freeze:
             s = min((epoch_done + 1) * steps_per_epoch, phase1_steps)
-            return float(onecycle(args.lr, phase1_steps)(s))
-        kw = dict(pct_start=0.1, div_factor=10, final_div_factor=1000)
+            return float(det_freeze_phase_head_schedule(
+                args.lr, phase1_steps)(s))
         if freeze > 0:
             total = steps_per_epoch * (args.epochs - freeze)
             s = min((epoch_done + 1 - freeze) * steps_per_epoch, total)
-            return float(onecycle(args.lr * 0.5, total, **kw)(s))
+            return float(det_finetune_phase_head_schedule(args.lr, total)(s))
         total = steps_per_epoch * args.epochs
         s = min((epoch_done + 1) * steps_per_epoch, total)
-        return float(onecycle(args.lr, total, **kw)(s))
+        return float(det_finetune_phase_head_schedule(
+            args.lr / 0.5, total)(s))
 
     log = CSVLogger(Path(args.save_dir) / "training_log.csv", DET_COLUMNS,
                     resume=bool(args.resume) or resumed is not None)

@@ -60,6 +60,22 @@ def _label_backbone(params) -> dict:
     }
 
 
+def det_freeze_phase_head_schedule(lr: float, steps: int):
+    """The head-group schedule `det_freeze_phase_optimizer` applies —
+    exposed so LR logging derives from the SAME object the optimizer is
+    built from (no constant duplication)."""
+    return onecycle(lr, steps, pct_start=0.075, div_factor=25,
+                    final_div_factor=1000)
+
+
+def det_finetune_phase_head_schedule(lr: float, steps: int,
+                                     unfreeze_lr_scale: float = 0.5):
+    """The head-group ('other') schedule `det_finetune_phase_optimizer`
+    applies; same single-source-of-truth role as above."""
+    return onecycle(lr * unfreeze_lr_scale, steps, pct_start=0.1,
+                    div_factor=10, final_div_factor=1000)
+
+
 def det_freeze_phase_optimizer(
     lr: float,
     steps: int,
@@ -68,7 +84,7 @@ def det_freeze_phase_optimizer(
 ) -> optax.GradientTransformation:
     """Phase 1 (`train.py:138-178`): backbone frozen (zero updates),
     neck+head on OneCycle at ``lr``."""
-    sched = onecycle(lr, steps, pct_start=0.075, div_factor=25, final_div_factor=1000)
+    sched = det_freeze_phase_head_schedule(lr, steps)
     return optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.multi_transform(
@@ -94,7 +110,8 @@ def det_finetune_phase_optimizer(
     finetune_lr = lr * unfreeze_lr_scale
     kw = dict(pct_start=0.1, div_factor=10, final_div_factor=1000)
     sched_bb = onecycle(finetune_lr * backbone_lr_scale, steps, **kw)
-    sched_other = onecycle(finetune_lr, steps, **kw)
+    sched_other = det_finetune_phase_head_schedule(lr, steps,
+                                                   unfreeze_lr_scale)
     return optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.multi_transform(

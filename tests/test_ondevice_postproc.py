@@ -215,3 +215,59 @@ def test_run_based_extraction_equals_pixel_cc_oracle():
                          round(float(prob[ys, xs].mean()), 4)))
         want = sorted(tuple(map(lambda t: round(float(t), 4), o)) for o in want)
         assert got == want
+
+
+def test_extract_boxes_overflow_counters_fire_on_sand_grain_noise():
+    """A sand-grain-noise page (thousands of 1-2px specks, the
+    generator's false-positive trigger) must not truncate silently:
+    with small capacities the (runs@row, runs@global, components)
+    counters report exactly what was dropped."""
+    rng = np.random.RandomState(0)
+    H = W = 96
+    prob = np.zeros((H, W), np.float32)
+    ys = rng.randint(0, H, 3000)
+    xs = rng.randint(0, W, 3000)
+    prob[ys, xs] = 0.9
+
+    out = extract_boxes(
+        jnp.asarray(prob), thresh=0.3, box_thresh=0.5, min_area=0.0,
+        max_boxes=16, max_runs=64, max_runs_per_row=4,
+        with_overflow=True)
+    boxes, scores, valid, ovf = map(np.asarray, out)
+    runs_row, runs_global, comps = (int(v) for v in ovf)
+
+    # ground truth from the mask itself
+    mask = prob > 0.3
+    left = np.pad(mask, ((0, 0), (1, 0)))[:, :W]
+    starts_per_row = (mask & ~left).sum(axis=1)
+    exp_row_dropped = np.maximum(starts_per_row - 4, 0).sum()
+    kept_slots = np.minimum(starts_per_row, 4).sum()
+    exp_global_dropped = max(kept_slots - 64, 0)
+
+    assert runs_row == exp_row_dropped > 0
+    assert runs_global == exp_global_dropped > 0
+    assert comps > 0            # more components than 16 box slots
+    assert valid.shape == (16,)
+
+    # a clean page reports zero overflow everywhere
+    clean = np.zeros((H, W), np.float32)
+    clean[10:20, 10:60] = 0.9
+    out2 = extract_boxes(
+        jnp.asarray(clean), thresh=0.3, box_thresh=0.5,
+        max_boxes=16, with_overflow=True)
+    _, _, valid2, ovf2 = map(np.asarray, out2)
+    assert valid2.sum() == 1
+    assert tuple(ovf2) == (0, 0, 0)
+
+
+def test_extract_boxes_overflow_with_quads_tuple_shape():
+    prob = np.zeros((32, 32), np.float32)
+    prob[4:10, 4:28] = 0.9
+    out = extract_boxes(
+        jnp.asarray(prob), thresh=0.3, box_thresh=0.5,
+        max_boxes=8, with_quads=True, with_overflow=True)
+    assert len(out) == 5
+    boxes, scores, valid, quads, ovf = map(np.asarray, out)
+    assert quads.shape == (8, 4, 2)
+    assert ovf.shape == (3,)
+    assert tuple(ovf) == (0, 0, 0)

@@ -47,11 +47,24 @@ def test_matches_gather():
 
 
 def test_stride2_rejected():
-    # Stride-2 layers use the clipped-offset gather path in the model
-    # wiring (resnet.py); the Pallas kernel is stride-1 only.
+    # Stride-2 layers go through deform_conv2d_s2_pallas (parity-view
+    # kernel); the stride-1 entry point rejects stride=2 outright.
     x, off, m, w = _case(2, 6, 8)
     with pytest.raises(ValueError):
         DK.deform_conv2d_pallas(x, off, m, w, 2, 1, 3, 4)
+
+
+def test_stride2_forward_matches_clipped_gather():
+    """Parity-view stride-2 kernel vs the exact clipped-offset gather,
+    with offsets large enough that the clip is active and samples cross
+    parity cells and image boundaries; Ho=6 with tile_h=4 exercises the
+    row-padding branch."""
+    x, off, m, w = _case(2, 6, 8, seed=3)
+    off = off * 1.5   # beyond R=3 in places -> clip path active
+    ref = deform_conv2d(x, jnp.clip(off, -3, 3), m, w, stride=2, padding=1)
+    out = DK.deform_conv2d_s2_pallas(x, off, m, w, 1, 3, 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_non_divisible_rows():
@@ -136,8 +149,10 @@ def test_backward_clip_boundary_zero_grad():
 
 
 def test_stride2_backward_matches_gather_autodiff():
-    """deform_conv2d_s2_pallas: gather fwd, stride-1-Pallas-on-upsampled-
-    grid bwd — both must equal the clipped-gather autodiff exactly."""
+    """deform_conv2d_s2_pallas: parity-view Pallas fwd, stride-1-Pallas-
+    on-upsampled-grid bwd — both must match the clipped-gather autodiff
+    (fwd to kernel f32 op-order tolerance; it used to be the gather
+    itself and therefore bit-exact)."""
     rng = np.random.RandomState(2)
     B, H, W, Cin, Cout, R = 1, 8, 8, 3, 4, 1
     Ho = H // 2
@@ -157,7 +172,8 @@ def test_stride2_backward_matches_gather_autodiff():
 
     out_p = DK.deform_conv2d_s2_pallas(x, off, m, w, 1, R, 2)
     out_g = deform_conv2d(x, jnp.clip(off, -R, R), m, w, stride=2, padding=1)
-    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_g))
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_g),
+                               rtol=1e-5, atol=1e-6)
 
     gp = jax.grad(fp, argnums=(0, 1, 2, 3))(x, off, m, w)
     gg = jax.grad(fg, argnums=(0, 1, 2, 3))(x, off, m, w)

@@ -36,46 +36,62 @@ def main():
     import jax.numpy as jnp
 
     from ocr_vi_invoice_tpu.ops.dcn import deform_conv2d
-    from ocr_vi_invoice_tpu.ops.pallas.dcn_kernel import deform_conv2d_pallas
+    from ocr_vi_invoice_tpu.ops.pallas.dcn_kernel import (
+        deform_conv2d_pallas,
+        deform_conv2d_s2_pallas,
+    )
 
     key = jax.random.PRNGKey(0)
     R = 3
 
-    # (label, H_in, Cin, stride) at 960² det input; Cout == Cin (bottleneck
-    # 3x3). Stride-2 layers use the gather forward even in pallas mode.
+    # (label, Ho, Cin, stride) at 960² det input; Ho is the OUTPUT size
+    # (offset-grid size), the input is Ho*stride; Cout == Cin (bottleneck
+    # 3x3). Stride-2 goes through the parity-view Pallas forward.
     shapes = [
         ("c3_s1", 120, 128, 1),
         ("c4_s1", 60, 256, 1),
         ("c5_s1", 30, 512, 1),
+        ("c3_s2", 120, 128, 2),
+        ("c4_s2", 60, 256, 2),
+        ("c5_s2", 30, 512, 2),
     ]
 
     results = {}
 
-    for label, H, C, stride in shapes:
-        x = jax.random.normal(key, (1, H, W := H, C), jnp.bfloat16)
+    for label, Ho, C, stride in shapes:
+        H = Ho * stride
+        x = jax.random.normal(key, (1, H, H, C), jnp.bfloat16)
         w = jax.random.normal(key, (3, 3, C, C), jnp.bfloat16) * 0.05
         mask = jax.nn.sigmoid(
-            jax.random.normal(key, (1, H, W, 9), jnp.bfloat16))
+            jax.random.normal(key, (1, Ho, Ho, 9), jnp.bfloat16))
         for reg, sigma in (("small", 0.5), ("large", 2.0)):
-            off = (jax.random.normal(key, (1, H, W, 18), jnp.bfloat16)
+            off = (jax.random.normal(key, (1, Ho, Ho, 18), jnp.bfloat16)
                    * sigma)
 
-            def pal(carry, off, mask, w):
-                return deform_conv2d_pallas(carry, off, mask, w, 1, 1, R)
+            def pal(xi, off, mask, w, stride=stride):
+                if stride == 1:
+                    return deform_conv2d_pallas(xi, off, mask, w, 1, 1, R)
+                return deform_conv2d_s2_pallas(xi, off, mask, w, 1, R)
 
-            def gat(carry, off, mask, w):
+            def gat(xi, off, mask, w, stride=stride):
                 return deform_conv2d(
-                    carry, jnp.clip(off, -R, R), mask, w, stride=1, padding=1)
+                    xi, jnp.clip(off, -R, R), mask, w,
+                    stride=stride, padding=1)
 
             for name, fn in (("pallas", pal), ("gather", gat)):
+                # serialize iterations through a scalar feedback into the
+                # input (output shape != input shape at stride 2, so the
+                # stride-1 carry-the-input trick doesn't apply)
                 @jax.jit
                 def loop(x, off, mask, w, n, fn=fn):
-                    def body(i, carry):
-                        r = fn(carry, off, mask, w)
-                        return carry + r * jnp.bfloat16(1e-3)
+                    def body(i, acc):
+                        xi = x * (1 + acc[0, 0, 0, 0] * jnp.bfloat16(1e-6))
+                        return acc + fn(xi, off, mask, w) * jnp.bfloat16(1e-3)
 
+                    acc0 = jnp.zeros((1, Ho, Ho, C), jnp.bfloat16)
                     return jnp.sum(
-                        jax.lax.fori_loop(0, n, body, x).astype(jnp.float32))
+                        jax.lax.fori_loop(0, n, body, acc0)
+                        .astype(jnp.float32))
 
                 ms = bench._timed(loop, x, off, mask, w,
                                   n_lo=2, n_hi=42, budget_s=60) * 1e3
@@ -83,14 +99,17 @@ def main():
 
         # plain conv floor
         @jax.jit
-        def conv_loop(x, w, n):
-            def body(i, carry):
+        def conv_loop(x, w, n, stride=stride):
+            def body(i, acc):
+                xi = x * (1 + acc[0, 0, 0, 0] * jnp.bfloat16(1e-6))
                 r = jax.lax.conv_general_dilated(
-                    carry, w, (1, 1), [(1, 1), (1, 1)],
+                    xi, w, (stride, stride), [(1, 1), (1, 1)],
                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
-                return carry + r * jnp.bfloat16(1e-3)
+                return acc + r * jnp.bfloat16(1e-3)
 
-            return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.float32))
+            acc0 = jnp.zeros((1, Ho, Ho, C), jnp.bfloat16)
+            return jnp.sum(jax.lax.fori_loop(0, n, body, acc0)
+                           .astype(jnp.float32))
 
         results[f"{label}_conv_ms"] = round(
             bench._timed(conv_loop, x, w, n_lo=2, n_hi=82, budget_s=60) * 1e3,
