@@ -82,6 +82,21 @@ class FontManager:
         return ImageFont.truetype(path, size)
 
 
+class RemappedFonts:
+    """Role indirection over a FontManager: ``get(role)`` resolves
+    through ``remap`` first. Used by the domain-shift holdout profiles
+    (`generator.apply_holdout_profile`) to exclude a font family from
+    training data (serif -> sans) or force it in the shifted eval set
+    (sans -> serif) without touching the layouts."""
+
+    def __init__(self, base: FontManager, remap: Dict[str, str]):
+        self.base = base
+        self.remap = dict(remap)
+
+    def get(self, role: str = "sans", size: int = 20):
+        return self.base.get(self.remap.get(role, role), size)
+
+
 _default: Optional[FontManager] = None
 
 

@@ -51,6 +51,51 @@ class GenerationConfig:
     jpeg_quality: Tuple[int, int] = (40, 95)
     defect_level: str = "medium"  # none | light | medium | heavy
     layout_weights: Dict[str, float] = field(default_factory=lambda: dict(WEIGHTS))
+    # Font-role indirection (e.g. {"serif": "sans"}) — see
+    # `apply_holdout_profile`; None keeps the layouts' native roles.
+    font_remap: Optional[Dict[str, str]] = None
+
+
+# ---- domain-shift holdout (an honest stand-in for the real-data gates
+# this zero-egress environment cannot run: SROIE / MC-OCR) -------------- #
+#
+# Two layouts, one font family, and one defect regime are held out of
+# training-data generation; the complementary 'shifted' profile generates
+# ONLY from that held-out slice. Reporting metrics on both bounds the
+# synthetic-overfit gap that same-generator train/test numbers hide.
+HOLDOUT_LAYOUTS = ("handwritten", "taxi_receipt")
+HOLDOUT_FONT_ROLES = ("serif", "serif_bold")  # the DejaVu Serif family
+HOLDOUT_DEFECT_LEVEL = "heavy"
+
+
+def apply_holdout_profile(cfg: "GenerationConfig",
+                          profile: Optional[str]) -> "GenerationConfig":
+    """Mutate ``cfg`` for a holdout profile and return it.
+
+    'train':   exclude the held-out layouts, render serif roles with the
+               sans family, cap defects below the held-out regime.
+    'shifted': generate ONLY the held-out layouts, render sans/mono roles
+               with the serif family, use the held-out defect regime.
+    """
+    if profile in (None, "none"):
+        return cfg
+    if profile == "train":
+        for k in HOLDOUT_LAYOUTS:
+            cfg.layout_weights[k] = 0.0
+        cfg.font_remap = {"serif": "sans", "serif_bold": "sans_bold"}
+        if cfg.defect_level == HOLDOUT_DEFECT_LEVEL:
+            cfg.defect_level = "medium"
+    elif profile == "shifted":
+        cfg.layout_weights = {
+            k: (1.0 if k in HOLDOUT_LAYOUTS else 0.0)
+            for k in cfg.layout_weights
+        }
+        cfg.font_remap = {"sans": "serif", "sans_bold": "serif_bold",
+                          "mono": "serif", "mono_bold": "serif_bold"}
+        cfg.defect_level = HOLDOUT_DEFECT_LEVEL
+    else:
+        raise ValueError(f"unknown holdout profile: {profile!r}")
+    return cfg
 
 
 def get_scenario_config(scenario: GenerationScenario) -> GenerationConfig:
@@ -94,6 +139,16 @@ class SyntheticInvoiceGenerator:
                  seed: Optional[int] = None):
         self.config = config or GenerationConfig()
         self.rng = np.random.RandomState(seed)
+        if self.config.font_remap:
+            from ocr_vi_invoice_tpu.generator.fonts import (
+                RemappedFonts,
+                default_fonts,
+            )
+
+            self.fonts = RemappedFonts(default_fonts(),
+                                       self.config.font_remap)
+        else:
+            self.fonts = None  # layouts fall back to default_fonts()
 
     @classmethod
     def from_scenario(cls, scenario: GenerationScenario,
@@ -113,13 +168,13 @@ class SyntheticInvoiceGenerator:
         return img
 
     def generate_realistic(self) -> Tuple[np.ndarray, List[Dict], str]:
-        layout = LayoutFactory.create_random(self.rng, self.config.layout_weights)
+        layout = LayoutFactory.create_random(self.rng, self.config.layout_weights, fonts=self.fonts)
         img, anns = layout.generate()
         img = self._apply_defects(img)
         return img, anns, "realistic"
 
     def generate_edge_case(self) -> Tuple[np.ndarray, List[Dict], str]:
-        layout = LayoutFactory.create_random(self.rng, self.config.layout_weights)
+        layout = LayoutFactory.create_random(self.rng, self.config.layout_weights, fonts=self.fonts)
         img, anns = layout.generate()
         img, anns = apply_random_edge_case(self.rng, img, anns)
         img = self._apply_defects(img)
@@ -134,7 +189,7 @@ class SyntheticInvoiceGenerator:
     def generate_unreadable(self) -> Tuple[np.ndarray, List[Dict], str]:
         """Destroyed document: text exists but is illegible — labeled with
         NO annotations so the detector learns to ignore it."""
-        layout = LayoutFactory.create_random(self.rng, self.config.layout_weights)
+        layout = LayoutFactory.create_random(self.rng, self.config.layout_weights, fonts=self.fonts)
         img, _ = layout.generate()
         # stack heavy destruction until unreadable
         img = cv2.GaussianBlur(img, (0, 0), self.rng.uniform(4, 9))

@@ -67,20 +67,22 @@ WEIGHTS: Dict[str, float] = {
 
 class LayoutFactory:
     @staticmethod
-    def create(name: str, rng: np.random.RandomState) -> BaseLayout:
-        return LAYOUTS[name](rng)
+    def create(name: str, rng: np.random.RandomState,
+               fonts=None) -> BaseLayout:
+        return LAYOUTS[name](rng, fonts=fonts)
 
     @staticmethod
     def create_random(
         rng: np.random.RandomState,
         weights: Optional[Dict[str, float]] = None,
+        fonts=None,
     ) -> BaseLayout:
         w = weights or WEIGHTS
         names = list(w.keys())
         probs = np.asarray([w[n] for n in names], np.float64)
         probs /= probs.sum()
         name = names[rng.choice(len(names), p=probs)]
-        return LayoutFactory.create(name, rng)
+        return LayoutFactory.create(name, rng, fonts=fonts)
 
     @staticmethod
     def names() -> List[str]:

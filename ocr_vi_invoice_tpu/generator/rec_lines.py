@@ -52,11 +52,19 @@ def _sample_text(c: ContentProvider, rng) -> str:
     return c.random_vocab_text(2, 24)
 
 
-def render_line(rng, text: str) -> np.ndarray:
+ALL_ROLES = ("sans", "serif", "mono", "sans_bold", "serif_bold",
+             "mono_bold")
+# domain-shift holdout (generator.apply_holdout_profile analogue for
+# text lines): serif family excluded from training lines, exclusive in
+# the shifted eval lines
+TRAIN_ROLES = ("sans", "mono", "sans_bold", "mono_bold")
+SHIFTED_ROLES = ("serif", "serif_bold")
+
+
+def render_line(rng, text: str, roles=ALL_ROLES) -> np.ndarray:
     """Render one line: random font/size/colors, slight padding."""
     fonts = default_fonts()
-    role = ["sans", "serif", "mono", "sans_bold", "serif_bold",
-            "mono_bold"][rng.randint(6)]
+    role = roles[rng.randint(len(roles))]
     size = int(rng.randint(18, 46))
     font = fonts.get(role, size)
 
@@ -93,7 +101,13 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--per_folder", type=int, default=10000)
     ap.add_argument("--start_index", type=int, default=0)
+    ap.add_argument("--holdout_profile", default="none",
+                    choices=["none", "train", "shifted"],
+                    help="'train': no serif-family lines; 'shifted': "
+                         "serif-family lines only (unseen glyph shapes)")
     args = ap.parse_args(argv)
+    roles = {"none": ALL_ROLES, "train": TRAIN_ROLES,
+             "shifted": SHIFTED_ROLES}[args.holdout_profile]
 
     out_root = Path(args.output)
     t0 = time.time()
@@ -106,7 +120,7 @@ def main(argv=None):
             continue
         sub = out_root / f"part_{i // args.per_folder:03d}"
         sub.mkdir(parents=True, exist_ok=True)
-        img = render_line(rng, text)
+        img = render_line(rng, text, roles=roles)
         cv2.imwrite(str(sub / f"{i}.jpg"), cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
                     [cv2.IMWRITE_JPEG_QUALITY, int(rng.randint(60, 96))])
         (sub / f"{i}.txt").write_text(text, encoding="utf-8")

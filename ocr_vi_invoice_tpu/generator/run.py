@@ -15,6 +15,7 @@ from pathlib import Path
 from ocr_vi_invoice_tpu.generator.generator import (
     GenerationScenario,
     SyntheticInvoiceGenerator,
+    apply_holdout_profile,
     get_scenario_config,
 )
 
@@ -28,6 +29,12 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--workers", type=int, default=2)
     ap.add_argument("--start_index", type=int, default=0)
+    ap.add_argument("--holdout_profile", default="none",
+                    choices=["none", "train", "shifted"],
+                    help="domain-shift holdout: 'train' excludes the "
+                         "held-out layouts/font family/defect regime; "
+                         "'shifted' generates ONLY from the held-out "
+                         "slice (see generator.apply_holdout_profile)")
     args = ap.parse_args(argv)
 
     out_dir = Path(args.output)
@@ -40,7 +47,9 @@ def main(argv=None):
     def make(i: int):
         # Per-sample generator => deterministic irrespective of scheduling.
         gen = SyntheticInvoiceGenerator(
-            get_scenario_config(scenario), seed=args.seed + i
+            apply_holdout_profile(get_scenario_config(scenario),
+                                  args.holdout_profile),
+            seed=args.seed + i,
         )
         try:
             img, anns, kind = gen.generate_sample()

@@ -27,6 +27,7 @@ Kills are by exact PID only (never by name/pattern).
 from __future__ import annotations
 
 import argparse
+import signal
 import subprocess
 import sys
 import time
@@ -52,14 +53,40 @@ def run_supervised(cmd, rss_limit_gb: float = 0.0, max_restarts: int = 50,
     if "--auto_resume" not in cmd:
         cmd = list(cmd) + ["--auto_resume"]
     restarts = 0
+
+    # A SIGTERM/SIGINT to the supervisor (wall-clock `timeout`, operator
+    # stop) must take the child down WITH it — an orphaned trainer would
+    # keep the chip busy past the supervisor's lifetime. Exact-PID only.
+    stop = {"requested": False}
+    cur = {"proc": None}
+
+    def _on_term(signum, frame):
+        stop["requested"] = True
+        p = cur["proc"]
+        if p is not None and p.poll() is None:
+            log(f"[supervisor] signal {signum} — terminating child "
+                f"(pid {p.pid}) and exiting", flush=True)
+            p.terminate()
+
+    prev_term = signal.signal(signal.SIGTERM, _on_term)
+    prev_int = signal.signal(signal.SIGINT, _on_term)
+
     while True:
         log(f"[supervisor] start (attempt {restarts + 1}): {' '.join(cmd)}",
             flush=True)
         proc = subprocess.Popen(cmd)
+        cur["proc"] = proc
         rss_kill = False
         while True:
             rc = proc.poll()
             if rc is not None:
+                break
+            if stop["requested"]:
+                try:
+                    rc = proc.wait(timeout=term_grace_secs)
+                except subprocess.TimeoutExpired:
+                    proc.kill()
+                    rc = proc.wait()
                 break
             rss = child_rss_gb(proc.pid)
             if rss_limit_gb and rss >= rss_limit_gb:
@@ -75,7 +102,15 @@ def run_supervised(cmd, rss_limit_gb: float = 0.0, max_restarts: int = 50,
                     rc = proc.wait()
                 break
             time.sleep(poll_secs)
+        if stop["requested"]:
+            signal.signal(signal.SIGTERM, prev_term)
+            signal.signal(signal.SIGINT, prev_int)
+            log(f"[supervisor] stopped by signal (child rc {rc})",
+                flush=True)
+            return rc if rc else 143
         if rc == 0 and not rss_kill:
+            signal.signal(signal.SIGTERM, prev_term)
+            signal.signal(signal.SIGINT, prev_int)
             log("[supervisor] child exited cleanly", flush=True)
             return 0
         restarts += 1

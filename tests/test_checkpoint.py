@@ -106,3 +106,51 @@ def test_full_state_roundtrip(tmp_path):
     u2, _ = tx.update(grads, state.opt_state, state.params)
     for a, b in zip(jax.tree_util.tree_leaves(u1), jax.tree_util.tree_leaves(u2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_backbone_artifact_roundtrip(tmp_path):
+    """tools/export_backbone.py produces a backbone-only artifact whose
+    subtrees merge into a fresh det init (the --init_backbone_from
+    contract), matching the reference's pretrained-backbone warm start
+    (`model/det/backbone.py:13-18`)."""
+    import sys
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import export_backbone
+
+    from ocr_vi_invoice_tpu.models.dbnet import DBNetPP
+    from ocr_vi_invoice_tpu.train.checkpoint import (
+        CheckpointManager,
+        load_weights,
+    )
+
+    model = DBNetPP(dcn=False, backbone="resnet18", dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32))
+    mgr = CheckpointManager(tmp_path / "src")
+    mgr.save_best(0, variables["params"], variables["batch_stats"], 0.5,
+                  extra={"dcn_mode": "gather"})
+
+    dst = tmp_path / "backbone_pretrained"
+    export_backbone.main([str(tmp_path / "src" / "best_model"), str(dst)])
+
+    art = load_weights(dst)
+    assert set(art["params"].keys()) == {"backbone"}
+    assert set(art["batch_stats"].keys()) == {"backbone"}
+    assert art["kind"] == "backbone_pretrained"
+
+    # merge exactly like train.det's --init_backbone_from branch
+    fresh = model.init(jax.random.PRNGKey(1),
+                       jnp.zeros((1, 64, 64, 3), jnp.float32))
+    merged = {
+        "params": {**fresh["params"], "backbone": art["params"]["backbone"]},
+        "batch_stats": {**fresh["batch_stats"],
+                        "backbone": art["batch_stats"]["backbone"]},
+    }
+    lhs = jax.tree_util.tree_leaves(merged["params"]["backbone"])
+    rhs = jax.tree_util.tree_leaves(variables["params"]["backbone"])
+    assert all((a == b).all() for a, b in zip(lhs, rhs))

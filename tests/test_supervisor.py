@@ -69,3 +69,46 @@ def test_rss_limit_recycles_child(tmp_path):
 def test_child_rss_reader():
     assert child_rss_gb(os.getpid()) > 0.0
     assert child_rss_gb(99999999) == 0.0
+
+
+def test_sigterm_takes_child_down(tmp_path):
+    """A SIGTERM to the supervisor (wall-clock timeout, operator stop)
+    must terminate the CHILD too — an orphaned trainer would keep the
+    chip busy past the supervisor's lifetime."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    marker = tmp_path / "child_pid"
+    child_code = (
+        "import os,sys,time,pathlib;"
+        f"pathlib.Path({str(marker)!r}).write_text(str(os.getpid()));"
+        "time.sleep(600)"
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "ocr_vi_invoice_tpu.train.supervisor", "--",
+         sys.executable, "-c", child_code],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    try:
+        for _ in range(200):
+            if marker.exists() and marker.read_text():
+                break
+            time.sleep(0.1)
+        else:
+            raise AssertionError("child never started")
+        child_pid = int(marker.read_text())
+        proc.send_signal(signal.SIGTERM)
+        proc.wait(timeout=30)
+        for _ in range(100):
+            try:
+                os.kill(child_pid, 0)
+            except ProcessLookupError:
+                break
+            time.sleep(0.1)
+        else:
+            raise AssertionError("child survived supervisor SIGTERM")
+    finally:
+        if proc.poll() is None:
+            proc.kill()
