@@ -71,6 +71,7 @@ def main(argv=None):
         det_finetune_phase_optimizer,
         det_freeze_phase_head_schedule,
         det_freeze_phase_optimizer,
+        schedule_applied_lr,
     )
     from ocr_vi_invoice_tpu.train.steps import (
         TrainState,
@@ -247,17 +248,19 @@ def main(argv=None):
         `det_*_phase_head_schedule`), so a schedule-constant change can't
         silently diverge the logged column."""
         if freeze > 0 and epoch_done < freeze:
-            s = min((epoch_done + 1) * steps_per_epoch, phase1_steps)
-            return float(det_freeze_phase_head_schedule(
-                args.lr, phase1_steps)(s))
+            s = (epoch_done + 1) * steps_per_epoch
+            return schedule_applied_lr(
+                det_freeze_phase_head_schedule(args.lr, phase1_steps),
+                s, phase1_steps)
         if freeze > 0:
             total = steps_per_epoch * (args.epochs - freeze)
-            s = min((epoch_done + 1 - freeze) * steps_per_epoch, total)
-            return float(det_finetune_phase_head_schedule(args.lr, total)(s))
+            s = (epoch_done + 1 - freeze) * steps_per_epoch
+            return schedule_applied_lr(
+                det_finetune_phase_head_schedule(args.lr, total), s, total)
         total = steps_per_epoch * args.epochs
-        s = min((epoch_done + 1) * steps_per_epoch, total)
-        return float(det_finetune_phase_head_schedule(
-            args.lr / 0.5, total)(s))
+        s = (epoch_done + 1) * steps_per_epoch
+        return schedule_applied_lr(
+            det_finetune_phase_head_schedule(args.lr / 0.5, total), s, total)
 
     log = CSVLogger(Path(args.save_dir) / "training_log.csv", DET_COLUMNS,
                     resume=bool(args.resume) or resumed is not None)

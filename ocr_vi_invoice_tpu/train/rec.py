@@ -168,11 +168,17 @@ def main(argv=None):
 
     def current_lr(epoch_done: int) -> float:
         """Schedule LR at the end of ``epoch_done``, logged per epoch like
-        the reference (`src/rec2/train.py:197-201`)."""
-        from ocr_vi_invoice_tpu.train.schedules import onecycle
+        the reference (`src/rec2/train.py:197-201`). Same schedule
+        construction as ``adamw_onecycle`` above; clamped to the last
+        APPLIED count (optax one-cycle is NaN exactly at total_steps)."""
+        from ocr_vi_invoice_tpu.train.schedules import (
+            onecycle,
+            schedule_applied_lr,
+        )
 
-        s = min((epoch_done + 1) * steps_per_epoch, total_steps)
-        return float(onecycle(args.lr, total_steps)(s))
+        s = (epoch_done + 1) * steps_per_epoch
+        return schedule_applied_lr(
+            onecycle(args.lr, total_steps), s, total_steps)
 
     ckpt = CheckpointManager(args.save_dir, every=args.checkpoint_every)
 

@@ -25,9 +25,19 @@ def onecycle(
     div_factor: float = 25.0,
     final_div_factor: float = 1000.0,
 ) -> optax.Schedule:
-    """torch OneCycleLR(anneal_strategy='cos') equivalent."""
+    """torch OneCycleLR(anneal_strategy='cos') equivalent.
+
+    Tiny-total guard: optax's cosine_onecycle divides by the warmup
+    interval's width in STEPS, so ``pct_start * total_steps < 1`` makes a
+    zero-width integer interval and the WHOLE schedule evaluates to NaN
+    (measured: every count NaN for total_steps <= 13 at pct_start 0.075)
+    — which silently NaN-poisons a short smoke run's optimizer. Widen
+    the warmup to at least one step; production totals are unaffected.
+    """
+    total_steps = max(total_steps, 2)
+    pct_start = max(pct_start, 1.0 / total_steps)
     return optax.cosine_onecycle_schedule(
-        transition_steps=max(total_steps, 1),
+        transition_steps=total_steps,
         peak_value=max_lr,
         pct_start=pct_start,
         div_factor=div_factor,
@@ -58,6 +68,18 @@ def _label_backbone(params) -> dict:
         k: jax.tree_util.tree_map(lambda _: "backbone" if k == "backbone" else "other", v)
         for k, v in params.items()
     }
+
+
+def schedule_applied_lr(sched, step_count: int, total_steps: int) -> float:
+    """LR the optimizer last APPLIED after ``step_count`` steps.
+
+    optax's one-cycle schedules return NaN when evaluated exactly at
+    ``count == total_steps`` (the final join interval has zero width);
+    the optimizer itself only ever evaluates counts 0..total-1, so LR
+    logging must clamp the same way — otherwise the final epoch's CSV
+    row logs NaN (caught by test_train_cli at 1-step-per-epoch sizes).
+    """
+    return float(sched(min(step_count, total_steps - 1)))
 
 
 def det_freeze_phase_head_schedule(lr: float, steps: int):

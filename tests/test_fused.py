@@ -130,7 +130,7 @@ def test_run_batch_in_fori_loop_compiles():
     @jax.jit
     def batch_loop(dv, rv, imgs, n):
         def body(i, carry):
-            boxes, scores, valid, quads, ids = fused._run_batch(dv, rv, carry)
+            boxes, scores, valid, quads, ids, _ovf = fused._run_batch(dv, rv, carry)
             return carry + jnp.sum(boxes) * 1e-12
         return jnp.sum(jax.lax.fori_loop(0, n, body, imgs))
 
