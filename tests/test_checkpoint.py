@@ -154,3 +154,25 @@ def test_export_backbone_artifact_roundtrip(tmp_path):
     lhs = jax.tree_util.tree_leaves(merged["params"]["backbone"])
     rhs = jax.tree_util.tree_leaves(variables["params"]["backbone"])
     assert all((a == b).all() for a, b in zip(lhs, rhs))
+
+
+def test_onecycle_finite_at_all_counts_and_tiny_totals():
+    """optax's cosine_onecycle is NaN at every count when
+    pct_start*total < 1 (zero-width integer warmup interval) and NaN at
+    count == total for any size; schedules.onecycle and
+    schedule_applied_lr must stay finite everywhere the trainer and the
+    CSV logger evaluate them (caught live: 1-step-per-epoch smoke runs
+    trained on a NaN-poisoned optimizer)."""
+    import math
+
+    from ocr_vi_invoice_tpu.train.schedules import (
+        onecycle,
+        schedule_applied_lr,
+    )
+
+    for total in (1, 2, 3, 10, 13, 14, 100, 5000):
+        sch = onecycle(1e-3, total)
+        for s in range(0, min(total, 20)):
+            assert math.isfinite(float(sch(s))), (total, s)
+        assert math.isfinite(schedule_applied_lr(sch, total, total)), total
+        assert schedule_applied_lr(sch, total, total) > 0.0
