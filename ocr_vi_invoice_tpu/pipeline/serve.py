@@ -239,8 +239,19 @@ def main(argv=None):
         if n_done == 1:
             t0 = time.time()  # exclude compile from the rate
 
+    # Each bucket's FIRST flush pays that engine's lazy XLA compile; fold
+    # it into neither the per-bucket seconds nor the aggregate steady-state
+    # rate (mid-stream compiles of later buckets would otherwise pollute
+    # both — only the very first image's compile was excluded before).
+    compiled_buckets: set = set()
+    excluded_seconds = 0.0
+
     def flush(bucket: int, group: List):
+        nonlocal excluded_seconds
         eng = engine(bucket)
+        first_flush = bucket not in compiled_buckets
+        compiled_buckets.add(bucket)
+        mid_stream = n_done > 0
         tb = time.time()
         if args.batch_size <= 1:
             for p, canvas, meta in group:
@@ -257,8 +268,13 @@ def main(argv=None):
             for (p, _, meta), results, ovf in zip(
                     group, batched[:real], eng.last_overflow[:real]):
                 emit(p, results, meta, bucket, ovf)
-        bucket_stats[bucket]["images"] += len(group)
-        bucket_stats[bucket]["seconds"] += time.time() - tb
+        dur = time.time() - tb
+        if first_flush:
+            if mid_stream:
+                excluded_seconds += dur
+        else:
+            bucket_stats[bucket]["images"] += len(group)
+            bucket_stats[bucket]["seconds"] += dur
 
     groups: Dict[int, List] = {s: [] for s in det_sizes}
     group_size = max(args.batch_size, 1)
@@ -279,7 +295,7 @@ def main(argv=None):
                     flush(bucket, group)
             break
 
-    dt = max(time.time() - t0, 1e-9)
+    dt = max(time.time() - t0 - excluded_seconds, 1e-9)
     rate = max(n_done - 1, 0) / dt
     summary = {
         "images": n_done,

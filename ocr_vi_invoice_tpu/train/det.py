@@ -208,8 +208,11 @@ def main(argv=None):
         if freeze > 0:
             return det_finetune_phase_optimizer(
                 args.lr, steps_per_epoch * (args.epochs - freeze))
+        # no freeze phase: run at args.lr exactly — scale pinned to 1.0
+        # rather than divided away, so a change to the default
+        # unfreeze_lr_scale cannot silently shift this branch
         return det_finetune_phase_optimizer(
-            args.lr / 0.5, steps_per_epoch * args.epochs)
+            args.lr, steps_per_epoch * args.epochs, unfreeze_lr_scale=1.0)
 
     start_epoch, start_step, best_f1 = 0, 0, 0.0
     resumed = None
@@ -260,7 +263,8 @@ def main(argv=None):
         total = steps_per_epoch * args.epochs
         s = (epoch_done + 1) * steps_per_epoch
         return schedule_applied_lr(
-            det_finetune_phase_head_schedule(args.lr / 0.5, total), s, total)
+            det_finetune_phase_head_schedule(
+                args.lr, total, unfreeze_lr_scale=1.0), s, total)
 
     log = CSVLogger(Path(args.save_dir) / "training_log.csv", DET_COLUMNS,
                     resume=bool(args.resume) or resumed is not None)

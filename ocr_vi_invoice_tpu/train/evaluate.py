@@ -12,6 +12,20 @@ from __future__ import annotations
 import argparse
 
 
+def _subset_indices(n: int, subset: int, seed: int):
+    """Deterministic seeded subsample: the SAME (n, subset, seed) triple
+    always selects the same items, independent of device/platform — so a
+    degraded-hardware round's CPU-subset numbers are reproducible and
+    comparable across machines (round-4 weak #7: the 12-image fallback
+    methodology lived only in README prose)."""
+    import numpy as np
+
+    if not subset or subset >= n:
+        return None
+    rng = np.random.RandomState(seed)
+    return sorted(rng.permutation(n)[:subset].tolist())
+
+
 def eval_det(args):
     import jax
     import jax.numpy as jnp
@@ -26,6 +40,10 @@ def eval_det(args):
 
     mesh = make_mesh()
     ds = DetectionDataset(args.data_dir, args.image_size, is_training=False)
+    idx = _subset_indices(len(ds), args.subset, args.seed)
+    if idx is not None:
+        ds.samples = [ds.samples[i] for i in idx]
+        print(f"Subset {len(ds)} of the full set (seed {args.seed})")
     print(f"Eval on {len(ds)} samples")
     restored = load_weights(args.model)
     model = DBNetPP(dcn=restored.get("dcn", not args.no_dcn),
@@ -64,6 +82,10 @@ def eval_rec(args):
         samples = load_mcocr_samples(args.annotation, args.img_dir)
     else:
         samples = load_vietocr_samples(args.img_dir)
+    idx = _subset_indices(len(samples), args.subset, args.seed)
+    if idx is not None:
+        samples = [samples[i] for i in idx]
+        print(f"Subset {len(samples)} of the full set (seed {args.seed})")
     ds = RecognitionDataset(samples, (args.img_height, args.img_width),
                             max_label_len=args.max_label_len)
     print(f"Eval on {len(ds)} samples")
@@ -92,6 +114,17 @@ def main(argv=None):
     d.add_argument("--no_dcn", action="store_true")
 
     r = sub.add_parser("rec")
+    for p in (d, r):
+        p.add_argument("--subset", type=int, default=0,
+                       help="evaluate a deterministic seeded subsample of "
+                            "N items (0 = full set) — the reproducible "
+                            "off-chip fallback path for degraded-hardware "
+                            "rounds")
+        p.add_argument("--seed", type=int, default=0,
+                       help="seed for --subset selection")
+        p.add_argument("--device", choices=["auto", "cpu"], default="auto",
+                       help="cpu forces the host platform (slow but "
+                            "works when the TPU tunnel is down)")
     r.add_argument("--annotation", default=None,
                    help="MC-OCR style annotation file (else VietOCR dir)")
     r.add_argument("--img_dir", required=True)
@@ -103,6 +136,13 @@ def main(argv=None):
     r.add_argument("--batch_size", type=int, default=64)
 
     args = ap.parse_args(argv)
+    if args.device == "cpu":
+        # must land before the first backend touch (sitecustomize imports
+        # jax with JAX_PLATFORMS=axon at interpreter start; env vars set
+        # now would be too late, config updates are not)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if args.task == "det":
         eval_det(args)
     else:

@@ -19,7 +19,20 @@ hiccup:
 * proactively restarts BEFORE the OOM killer fires: when the child's RSS
   crosses ``--rss_limit_gb`` it gets SIGTERM (at most ``save_every_steps``
   steps of progress are lost, same as a real preemption);
-* stops on clean exit (rc 0) or after ``--max_restarts``.
+* stops on clean exit (rc 0) or after ``--max_restarts``;
+* **hang detection** (``--stall_minutes``): the device relay can wedge a
+  child forever inside a blocking device call (round 4 lost a training
+  leg this way — every thread in futex wait, zero CPU, unkillable by
+  SIGTERM). When the child makes no visible progress — no new mtime on
+  anything under its ``--save_dir`` (CSV rows, ``last_state``
+  checkpoints) — for ``stall_minutes``, the supervisor SIGKILLs it (it
+  is blocked; TERM handlers would never run) and exits with the
+  distinct rc ``EXIT_STALLED`` (75), leaving ``last_state`` intact for
+  a later resume. Restarting is deliberately NOT attempted: round 4
+  showed restarted children wedge again and their recompile uploads can
+  worsen the relay jam. The default (50 min) sits above the worst
+  observed cold train-step compile (25-45 min), which is indistinguishable
+  from a hang by mtime alone.
 
 Kills are by exact PID only (never by name/pattern).
 """
@@ -27,10 +40,35 @@ Kills are by exact PID only (never by name/pattern).
 from __future__ import annotations
 
 import argparse
+import os
 import signal
 import subprocess
 import sys
 import time
+
+EXIT_STALLED = 75  # distinct rc: child hung (no progress), killed, state kept
+
+
+def _progress_mtime(save_dir: str) -> float:
+    """Newest mtime under ``save_dir`` (0.0 if absent) — any CSV append or
+    orbax checkpoint write bumps it."""
+    newest = 0.0
+    for root, _dirs, files in os.walk(save_dir):
+        for name in files:
+            try:
+                newest = max(newest, os.stat(os.path.join(root, name)).st_mtime)
+            except OSError:
+                continue
+    return newest
+
+
+def _child_save_dir(cmd) -> str | None:
+    for i, tok in enumerate(cmd):
+        if tok == "--save_dir" and i + 1 < len(cmd):
+            return cmd[i + 1]
+        if tok.startswith("--save_dir="):
+            return tok.split("=", 1)[1]
+    return None
 
 
 def child_rss_gb(pid: int) -> float:
@@ -46,13 +84,18 @@ def child_rss_gb(pid: int) -> float:
 
 def run_supervised(cmd, rss_limit_gb: float = 0.0, max_restarts: int = 50,
                    poll_secs: float = 5.0, term_grace_secs: float = 120.0,
-                   log=print) -> int:
+                   stall_minutes: float = 50.0, log=print) -> int:
     """Run ``cmd`` (argv list), restarting per the policy above.
 
-    Returns the final exit code (0 on success)."""
+    Returns the final exit code (0 on success; EXIT_STALLED=75 when the
+    child was killed for making no progress for ``stall_minutes``)."""
     if "--auto_resume" not in cmd:
         cmd = list(cmd) + ["--auto_resume"]
     restarts = 0
+    save_dir = _child_save_dir(cmd)
+    if stall_minutes and not save_dir:
+        log("[supervisor] no --save_dir in child cmd — hang detection off",
+            flush=True)
 
     # A SIGTERM/SIGINT to the supervisor (wall-clock `timeout`, operator
     # stop) must take the child down WITH it — an orphaned trainer would
@@ -77,17 +120,39 @@ def run_supervised(cmd, rss_limit_gb: float = 0.0, max_restarts: int = 50,
         proc = subprocess.Popen(cmd)
         cur["proc"] = proc
         rss_kill = False
+        stalled = False
+        last_progress = time.time()
         while True:
             rc = proc.poll()
             if rc is not None:
                 break
             if stop["requested"]:
+                # The signal handler only terminates the child that was
+                # live when the signal arrived; a child started after
+                # (or one that ignored it) must still be terminated here
+                # before waiting, or it hangs the full grace then dies
+                # ungracefully (round-4 advisor finding).
+                proc.terminate()
                 try:
                     rc = proc.wait(timeout=term_grace_secs)
                 except subprocess.TimeoutExpired:
                     proc.kill()
                     rc = proc.wait()
                 break
+            if stall_minutes and save_dir:
+                m = _progress_mtime(save_dir)
+                if m > last_progress:
+                    last_progress = m
+                if time.time() - last_progress > stall_minutes * 60:
+                    log(f"[supervisor] no progress under {save_dir} for "
+                        f"{stall_minutes:.0f} min — child (pid {proc.pid}) "
+                        "presumed wedged in a device call; SIGKILL and "
+                        f"exiting rc={EXIT_STALLED} (last_state intact)",
+                        flush=True)
+                    proc.kill()  # blocked child: TERM handlers can't run
+                    rc = proc.wait()
+                    stalled = True
+                    break
             rss = child_rss_gb(proc.pid)
             if rss_limit_gb and rss >= rss_limit_gb:
                 log(f"[supervisor] RSS {rss:.1f} GB >= limit "
@@ -102,11 +167,19 @@ def run_supervised(cmd, rss_limit_gb: float = 0.0, max_restarts: int = 50,
                     rc = proc.wait()
                 break
             time.sleep(poll_secs)
+        if stalled:
+            signal.signal(signal.SIGTERM, prev_term)
+            signal.signal(signal.SIGINT, prev_int)
+            return EXIT_STALLED
         if stop["requested"]:
             signal.signal(signal.SIGTERM, prev_term)
             signal.signal(signal.SIGINT, prev_int)
             log(f"[supervisor] stopped by signal (child rc {rc})",
                 flush=True)
+            # wait() statuses are negative for signal deaths; normalize to
+            # the conventional 128+N so sys.exit never sees a negative rc.
+            if rc and rc < 0:
+                return 128 - rc
             return rc if rc else 143
         if rc == 0 and not rss_kill:
             signal.signal(signal.SIGTERM, prev_term)
@@ -132,6 +205,11 @@ def main(argv=None):
                          "crosses this (0 = off)")
     ap.add_argument("--max_restarts", type=int, default=50)
     ap.add_argument("--poll_secs", type=float, default=5.0)
+    ap.add_argument("--stall_minutes", type=float, default=50.0,
+                    help="SIGKILL the child and exit rc=75 when nothing "
+                         "under its --save_dir gains a newer mtime for this "
+                         "long (0 = off; default sits above the worst "
+                         "observed 45-min cold compile)")
     argv = list(sys.argv[1:] if argv is None else argv)
     if "--" not in argv:
         ap.error("separate the child command with `--`")
@@ -142,7 +220,8 @@ def main(argv=None):
         ap.error("empty child command")
     sys.exit(run_supervised(cmd, rss_limit_gb=args.rss_limit_gb,
                             max_restarts=args.max_restarts,
-                            poll_secs=args.poll_secs))
+                            poll_secs=args.poll_secs,
+                            stall_minutes=args.stall_minutes))
 
 
 if __name__ == "__main__":

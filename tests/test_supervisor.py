@@ -66,6 +66,52 @@ def test_rss_limit_recycles_child(tmp_path):
     assert marker.read_text() == "2"
 
 
+def test_stall_detection_kills_hung_child(tmp_path):
+    """Fault injection for the round-4 failure mode: a child that makes
+    progress (writes under --save_dir), then blocks forever in a 'device
+    call'. The supervisor must SIGKILL it, exit with the distinct
+    EXIT_STALLED rc, and leave the checkpoint intact."""
+    from ocr_vi_invoice_tpu.train.supervisor import EXIT_STALLED
+
+    save_dir = tmp_path / "ckpt"
+    save_dir.mkdir()
+    cmd = _child_script(tmp_path, f"""
+        import pathlib, time
+        d = pathlib.Path({str(save_dir)!r})
+        (d / "last_state").write_text("step 3000")  # one progress tick
+        time.sleep(600)  # then wedge forever (simulated relay hang)
+    """)
+    # -S skips sitecustomize's jax import: child must start (and write its
+    # progress tick) well inside the tiny stall window used here
+    cmd = [cmd[0], "-S"] + cmd[1:] + ["--save_dir", str(save_dir)]
+    logs = []
+    rc = run_supervised(cmd, max_restarts=5, poll_secs=0.05,
+                        stall_minutes=0.02,  # 1.2 s of no progress
+                        log=lambda *a, **k: logs.append(a[0]))
+    assert rc == EXIT_STALLED
+    assert (save_dir / "last_state").read_text() == "step 3000"
+    assert any("wedged" in m for m in logs)
+
+
+def test_stall_timer_resets_on_progress(tmp_path):
+    """A slow-but-progressing child (fresh mtimes under --save_dir) must
+    NOT be treated as hung; it exits 0 on its own."""
+    save_dir = tmp_path / "ckpt"
+    save_dir.mkdir()
+    cmd = _child_script(tmp_path, f"""
+        import pathlib, time
+        d = pathlib.Path({str(save_dir)!r})
+        for i in range(6):
+            (d / "last_state").write_text(str(i))
+            time.sleep(0.4)
+    """)
+    cmd = [cmd[0], "-S"] + cmd[1:] + ["--save_dir", str(save_dir)]
+    rc = run_supervised(cmd, max_restarts=0, poll_secs=0.05,
+                        stall_minutes=0.025,  # 1.5 s — longer than each gap
+                        log=lambda *a, **k: None)
+    assert rc == 0
+
+
 def test_child_rss_reader():
     assert child_rss_gb(os.getpid()) > 0.0
     assert child_rss_gb(99999999) == 0.0

@@ -262,3 +262,53 @@ def test_rec_crash_resume_equals_uninterrupted(rec_data, tmp_path):
     ca = (tmp_path / "wA" / "training_log.csv").read_text().splitlines()
     cb = (tmp_path / "wB" / "training_log.csv").read_text().splitlines()
     assert ca == cb
+
+
+def test_evaluate_det_subset_reproducible(det_data, tmp_path, capsys):
+    """`evaluate det --subset N --seed S`: the promoted off-chip fallback
+    eval path (round-4 weak #7). Same (subset, seed) -> same selection and
+    identical metrics across invocations; different seed -> (generally)
+    different selection."""
+    from ocr_vi_invoice_tpu.train.det import main as train_main
+    from ocr_vi_invoice_tpu.train.evaluate import main as eval_main
+
+    train_main([
+        "--train_dir", str(det_data / "train"),
+        "--val_dir", str(det_data / "val"),
+        "--test_dir", "",
+        "--epochs", "1", "--freeze_epochs", "0",
+        "--batch_size", "8", "--image_size", "64", "--no_dcn",
+        "--checkpoint_every", "1",
+        "--save_dir", str(tmp_path / "w"),
+    ])
+    model = tmp_path / "w" / "checkpoint_epoch_1"
+    assert model.exists()
+    capsys.readouterr()
+
+    # batch_size must be divisible by the 8-device CPU test mesh; the
+    # 4-sample subset rides in one padded batch
+    args = ["det", "--data_dir", str(det_data / "val"),
+            "--model", str(model), "--image_size", "64",
+            "--batch_size", "8", "--subset", "4", "--seed", "1",
+            "--no_dcn"]  # epoch checkpoints don't carry the dcn meta
+    eval_main(args)
+    out1 = capsys.readouterr().out
+    eval_main(args)
+    out2 = capsys.readouterr().out
+    assert "Eval on 4 samples" in out1
+    # metric lines identical across runs: deterministic selection + eval
+    line1 = [l for l in out1.splitlines() if l.startswith("Loss:")][-1]
+    line2 = [l for l in out2.splitlines() if l.startswith("Loss:")][-1]
+    assert line1 == line2
+
+
+def test_subset_indices_deterministic():
+    from ocr_vi_invoice_tpu.train.evaluate import _subset_indices
+
+    a = _subset_indices(347, 12, seed=0)
+    b = _subset_indices(347, 12, seed=0)
+    c = _subset_indices(347, 12, seed=1)
+    assert a == b and len(a) == 12 and a == sorted(a)
+    assert a != c
+    assert _subset_indices(10, 0, seed=0) is None  # 0 = full set
+    assert _subset_indices(10, 20, seed=0) is None  # larger than set

@@ -77,11 +77,26 @@ def firing_counts(dy, dx, tile_h=TILE):
 
 
 def layer_bytes(rows, macs, Wo, Wp, Cin):
-    """VMEM bytes the kernel must move at these counts (per image):
-    fired MAC = acc RMW f32 (2x) + xs operand read f32;
+    """VMEM bytes the stride-1 kernel must move at these counts (per
+    image): fired MAC = acc RMW f32 (2x) + xs operand read f32;
     row hit = bf16 load + f32 store of the converted (tile, Wp, Cin)."""
     mac_b = macs * 3 * TILE * Wo * Cin * 4
     row_b = rows * TILE * Wp * Cin * (2 + 4)
+    return mac_b + row_b
+
+
+def layer_bytes_s2(rows, macs, Wo, Cin):
+    """Stride-2 parity-view kernel byte model. The guard replay is
+    stride-AGNOSTIC (same tap lattice over sy/sx in 0..Sy-1, split by
+    parity inside the kernel), so `firing_counts` applies unchanged; only
+    the data movement differs: each fired row (sy) loads + converts BOTH
+    column-parity view slices (`rows0`/`rows1` in `_dcn_s2_kernel`,
+    (tile, vc, Cin) each, vc = 8-aligned Wo + (Sx+1)//2) before the sx
+    loop. MAC bytes are identical to stride-1."""
+    Sx = 3 + 2 * R + 1
+    vc = -(-(Wo + (Sx + 1) // 2) // 8) * 8
+    mac_b = macs * 3 * TILE * Wo * Cin * 4
+    row_b = rows * 2 * TILE * vc * Cin * (2 + 4)
     return mac_b + row_b
 
 
@@ -188,12 +203,14 @@ def main():
             dx = np.clip(offset[..., 1::2], -R, R)
             rows, cells, macs = firing_counts(dy, dx)
             Cin = {120: 128, 60: 256, 30: 512}[Ho]
+            stride = 2 if "block0" in name else 1
             Wp = -(-(Wo + 2 * R + 3) // 8) * 8
+            byt = (layer_bytes_s2(rows, macs, Wo, Cin) if stride == 2
+                   else layer_bytes(rows, macs, Wo, Wp, Cin))
             results["layers"][name] = {
-                "res": Ho, "cin": Cin,
+                "res": Ho, "cin": Cin, "stride": stride,
                 "rows": rows, "cells": cells, "mac_firings": macs,
-                "bytes_mb": round(
-                    layer_bytes(rows, macs, Wo, Wp, Cin) / 1e6, 1),
+                "bytes_mb": round(byt / 1e6, 1),
             }
         print(json.dumps(results))
         return
@@ -217,8 +234,30 @@ def main():
                                "ms": round(ms, 3),
                                "gbps": round(byt / ms / 1e6, 1)}
     rate = max(v["gbps"] for v in cal.values()) * 1e9  # bytes/s
+    # Separate calibration for the stride-2 parity-view kernel (its own
+    # per-op overheads: two view loads per fired row, two parity loops) so
+    # s2 bounds are measured against the s2 kernel's OWN dense rate, not
+    # the stride-1 kernel's (round-4 weak #4: no published measured/bound
+    # for the three stride-2 layers).
+    for Ho, Cin in ((60, 256),):
+        xin = jax.random.normal(key, (1, 2 * Ho, 2 * Ho, Cin), jnp.bfloat16)
+        w = jax.random.normal(key, (3, 3, Cin, Cin), jnp.bfloat16) * 0.05
+        off = jax.random.normal(key, (1, Ho, Ho, 18), jnp.bfloat16) * 0.5
+        mask = jax.nn.sigmoid(
+            jax.random.normal(key, (1, Ho, Ho, 9), jnp.bfloat16))
+        offn = np.asarray(off, np.float32)
+        dyc = np.clip(offn[0, ..., 0::2], -R, R)
+        dxc = np.clip(offn[0, ..., 1::2], -R, R)
+        rows, cells, macs = firing_counts(dyc, dxc)
+        byt = layer_bytes_s2(rows, macs, Ho, Cin)
+        ms = time_kernel(xin, off, mask, w, 2)
+        cal[f"calib_s2_c{Ho}"] = {"bytes_mb": round(byt / 1e6, 1),
+                                  "ms": round(ms, 3),
+                                  "gbps": round(byt / ms / 1e6, 1)}
+    rate_s2 = cal["calib_s2_c60"]["gbps"] * 1e9
     results["calibration"] = cal
     results["byte_rate_gbps"] = round(rate / 1e9, 1)
+    results["byte_rate_s2_gbps"] = round(rate_s2 / 1e9, 1)
 
     # ---- per-layer table at the trained offsets ---------------------- #
     for name, om in oms:
@@ -234,10 +273,11 @@ def main():
         stage = {120: 128, 60: 256, 30: 512}[Ho]
         Cin = stage
         Wp = -(-(Wo + 2 * R + 3) // 8) * 8
-        byt = layer_bytes(rows, macs, Wo, Wp, Cin)
         # the first block of each DCN stage is stride 2 (resnet.py:
         # stage{i}_block0 downsamples); offset grids are at OUTPUT res
         stride = 2 if "block0" in name else 1
+        byt = (layer_bytes_s2(rows, macs, Wo, Cin) if stride == 2
+               else layer_bytes(rows, macs, Wo, Wp, Cin))
         H_in = Ho * stride
         xin = jax.random.normal(key, (1, H_in, H_in, Cin), jnp.bfloat16)
         w = jax.random.normal(key, (3, 3, Cin, Cin), jnp.bfloat16) * 0.05
@@ -246,7 +286,7 @@ def main():
                          jnp.asarray(1 / (1 + np.exp(-m_raw))[None],
                                      jnp.bfloat16),
                          w, stride)
-        bound_ms = byt / rate * 1e3
+        bound_ms = byt / (rate_s2 if stride == 2 else rate) * 1e3
         results["layers"][name] = {
             "res": Ho, "cin": Cin, "stride": stride,
             "rows": rows, "cells": cells, "mac_firings": macs,

@@ -119,7 +119,7 @@ def main():
     @jax.jit
     def fused_loop(img, n):
         def body(i, carry):
-            boxes, scores, valid, quads, ids = fused._run(det_vars, rec_vars, carry)
+            boxes, scores, valid, quads, ids, _ovf = fused._run(det_vars, rec_vars, carry)
             return carry + (jnp.sum(boxes) * 1e-12 + jnp.sum(quads) * 1e-12
                             + jnp.sum(ids).astype(jnp.float32) * 1e-12)
 
