@@ -21,6 +21,19 @@ dimension so Pallas keeps it resident across sequential row tiles.
 Offsets are clamped to ``radius`` exactly like deform_conv2d_local
 (identical math; exact vs torchvision for |offset| <= radius).
 
+Sparsity guards (round 5): a tap only has bilinear support on the <=4
+shift cells bracketing its offset, so ~85% of the (cell, tap) lattice is
+skippable at trained offsets (tools/dcn_bound_table.py). Every kernel
+now derives its guards from per-tap SCALAR ranges of the clipped
+offsets (min/max, reduced once per tile): each (sy, sx, tap) test is a
+scalar interval comparison, and hat-weight maps are built only inside
+fired guards. The round-4 scheme built the full (tile, Wo) hat map and
+max-reduced it per (cell, tap) BEFORE the guard — ~900 vector->scalar
+reduce syncs per tile spent mostly on deciding to skip. Interval tests
+are conservative (a tile's pixels can straddle a cell's open support
+without entering it); a false firing accumulates an identically-zero
+hat product, so the math is unchanged.
+
 Only stride 1 is expressible as static window slices on one array
 (Mosaic rejects strided vector slices); ``deform_conv2d_pallas``
 requires stride=1. The three stride-2 DCN layers run
@@ -103,27 +116,31 @@ def _dcn_kernel(x_ref, dy_ref, dx_ref, mask_ref, w_ref, out_ref, acc_ref, *,
     # (tap, shift) pair is out of the bilinear support, so no masking or
     # static skipping is needed for correctness.
     #
-    # Round-4 restructure (measured -10-15% at det shapes, tune_dcn.py):
-    # per-tap ROW weights are hoisted out of the sx loop (computed once
-    # per sy, not once per cell), the whole sy body — including the rows
-    # slice and its f32 convert — sits behind a row-level support test
-    # (trained offsets are small, so about half the Sy iterations have no
-    # tap with row support), and hat maps stay (tile, Wo, 1)-shaped so
-    # the broadcast against the (tile, Wo, Cin) slice needs no
-    # lane->sublane relayout per firing.
+    # Round-5 guard restructure: the per-tap offset RANGES are reduced
+    # ONCE per tile, so every (sy, sx, tap) support test below is a pure
+    # scalar interval comparison — the round-4 version instead built the
+    # full (tile, Wo) hat map and max-reduced it per (cell, tap), ~900
+    # VPU reduces (each a vector->scalar sync) per tile of which the
+    # trained-offset guards then discarded 83-88%. Hat maps are now only
+    # computed inside FIRED guards. Interval tests are conservative
+    # (pixels can straddle a cell's open support without entering it);
+    # a false firing just accumulates an identically-zero hat product.
+    dymin = [jnp.min(dy[..., t]) for t in range(K)]
+    dymax = [jnp.max(dy[..., t]) for t in range(K)]
+    dxmin = [jnp.min(dx[..., t]) for t in range(K)]
+    dxmax = [jnp.max(dx[..., t]) for t in range(K)]
+    mpos = [jnp.max(m[..., t]) > 0.0 for t in range(K)]
+
     def sy_body(sy, _):
         syf = sy.astype(jnp.float32)
-        wys = []
-        rhits = []
+        row_ok = []
         for t in range(K):
-            ti = t // kw
-            wy = jnp.maximum(
-                0.0, 1.0 - jnp.abs(dy[..., t:t + 1] - (syf - R - ti)))
-            wys.append(wy)
-            rhits.append(jnp.max(wy))
-        row_hit = functools.reduce(jnp.maximum, rhits)
+            cy = syf - R - (t // kw)
+            row_ok.append((dymax[t] > cy - 1.0) & (dymin[t] < cy + 1.0)
+                          & mpos[t])
+        row_hit = functools.reduce(jnp.logical_or, row_ok)
 
-        @pl.when(row_hit > 0.0)
+        @pl.when(row_hit)
         def _():
             # rows r of this tile sample padded row (row_base + r) + sy;
             # the row dim is a non-tiled dim so a dynamic start is free.
@@ -132,30 +149,38 @@ def _dcn_kernel(x_ref, dy_ref, dx_ref, mask_ref, w_ref, out_ref, acc_ref, *,
             # level costs more in loop overhead than the slices in VMEM.
             rows = x_ref[0, pl.ds(row_base + sy, tile_h),
                          :, :].astype(jnp.float32)
+            # per-tap ROW weights, once per sy; (tile, Wo, 1)-shaped so
+            # the broadcast against (tile, Wo, Cin) needs no relayout
+            wys = [
+                jnp.maximum(
+                    0.0, 1.0 - jnp.abs(dy[..., t:t + 1]
+                                       - (syf - R - t // kw)))
+                for t in range(K)
+            ]
             for sx in range(Sx):
-                # Per-tap bilinear hat weights for this cell. Most are
-                # identically zero — a tap only has support on the ≤4
-                # cells bracketing its offset — so the expensive
-                # (tile_h, Wo, Cin) multiply-accumulates are guarded by
-                # scalar tests on the weight maxima.
-                w2s = []
-                hits = []
-                for t in range(K):
-                    tj = t % kw
-                    wx = jnp.maximum(
-                        0.0, 1.0 - jnp.abs(dx[..., t:t + 1] - (sx - R - tj)))
-                    w2s.append(wys[t] * wx * m[..., t:t + 1])
-                    hits.append(jnp.max(w2s[-1]))
-                any_hit = functools.reduce(jnp.maximum, hits)
+                # A tap only has support on the <=4 cells bracketing its
+                # offset; scalar interval tests pick those out with no
+                # vector work at all.
+                cell_ok = [
+                    row_ok[t]
+                    & (dxmax[t] > sx - R - (t % kw) - 1.0)
+                    & (dxmin[t] < sx - R - (t % kw) + 1.0)
+                    for t in range(K)
+                ]
+                any_ok = functools.reduce(jnp.logical_or, cell_ok)
 
-                @pl.when(any_hit > 0.0)
-                def _(sx=sx, w2s=w2s, hits=hits):
+                @pl.when(any_ok)
+                def _(sx=sx, cell_ok=cell_ok):
                     xs = rows[:, sx:sx + Wo, :]
                     for t in range(K):
-                        @pl.when(hits[t] > 0.0)
-                        def _(t=t, xs=xs, w2s=w2s):
+                        @pl.when(cell_ok[t])
+                        def _(t=t, sx=sx, xs=xs):
+                            wx = jnp.maximum(
+                                0.0, 1.0 - jnp.abs(dx[..., t:t + 1]
+                                                   - (sx - R - t % kw)))
+                            w2 = wys[t] * wx * m[..., t:t + 1]
                             sl = slice(t * Cin, (t + 1) * Cin)
-                            acc_ref[:, :, sl] += w2s[t] * xs
+                            acc_ref[:, :, sl] += w2 * xs
 
         return 0
 
@@ -289,41 +314,49 @@ def _dcn_bwd_param_kernel(x_ref, g_ref, dy_ref, dx_ref, mask_ref, w_ref,
     sdx_ref[...] = jnp.zeros((tile_h, Wo, K), jnp.float32)
     sdm_ref[...] = jnp.zeros((tile_h, Wo, K), jnp.float32)
 
-    def sy_body(sy, _):
-        # Row hat weights hoisted out of the sx loop; the whole body sits
-        # behind a row-support guard. The guard is on wy ALONE, which is
-        # valid for all three outputs: wy == 0 kills d(mask) and d(dx)
-        # directly, and d(dy)'s hat' factor is defined as 0 outside the
-        # OPEN support (wyp = where(wy > 0, -sign, 0)), so a no-row-support
-        # sy contributes nothing anywhere. The per-cell guard must still
-        # NOT include the modulation mask — d(mask) needs the unmodulated
-        # product.
-        syf = sy.astype(jnp.float32)
-        uys, wys, rhits = [], [], []
-        for t in range(K):
-            ti = t // kw
-            uy = dy[..., t] - (syf - R - ti)
-            wy = jnp.maximum(0.0, 1.0 - jnp.abs(uy))
-            uys.append(uy)
-            wys.append(wy)
-            rhits.append(jnp.max(wy))
-        row_hit = functools.reduce(jnp.maximum, rhits)
+    # Round-5: scalar-interval guards (see the forward kernel). The
+    # guards here must NOT involve the modulation mask — d(mask) needs
+    # the unmodulated product — so there is no mpos term.
+    dymin = [jnp.min(dy[..., t]) for t in range(K)]
+    dymax = [jnp.max(dy[..., t]) for t in range(K)]
+    dxmin = [jnp.min(dx[..., t]) for t in range(K)]
+    dxmax = [jnp.max(dx[..., t]) for t in range(K)]
 
-        @pl.when(row_hit > 0.0)
+    def sy_body(sy, _):
+        # The row guard is on wy support ALONE, which is valid for all
+        # three outputs: wy == 0 kills d(mask) and d(dx) directly, and
+        # d(dy)'s hat' factor is defined as 0 outside the OPEN support
+        # (wyp = where(wy > 0, -sign, 0)), so a no-row-support sy
+        # contributes nothing anywhere.
+        syf = sy.astype(jnp.float32)
+        row_ok = []
+        for t in range(K):
+            cy = syf - R - (t // kw)
+            row_ok.append((dymax[t] > cy - 1.0) & (dymin[t] < cy + 1.0))
+        row_hit = functools.reduce(jnp.logical_or, row_ok)
+
+        @pl.when(row_hit)
         def _():
             rows = x_ref[0, pl.ds(row_base + sy, tile_h),
                          :, :].astype(jnp.float32)
+            uys, wys = [], []
+            for t in range(K):
+                uy = dy[..., t] - (syf - R - t // kw)
+                uys.append(uy)
+                wys.append(jnp.maximum(0.0, 1.0 - jnp.abs(uy)))
             for sx in range(Sx):
-                # per-tap support test as before: a tap only touches the
-                # <=4 cells bracketing its offset
+                # per-tap support test: a tap only touches the <=4 cells
+                # bracketing its offset; scalar interval tests find them
                 for t in range(K):
                     tj = t % kw
-                    ux = dx[..., t] - (sx - R - tj)
-                    wx = jnp.maximum(0.0, 1.0 - jnp.abs(ux))
-                    hit = rhits[t] * jnp.max(wx)
+                    hit = (row_ok[t]
+                           & (dxmax[t] > sx - R - tj - 1.0)
+                           & (dxmin[t] < sx - R - tj + 1.0))
 
-                    @pl.when(hit > 0.0)
-                    def _(t=t, wy=wys[t], wx=wx, uy=uys[t], ux=ux, sx=sx):
+                    @pl.when(hit)
+                    def _(t=t, wy=wys[t], uy=uys[t], sx=sx):
+                        ux = dx[..., t] - (sx - R - t % kw)
+                        wx = jnp.maximum(0.0, 1.0 - jnp.abs(ux))
                         xs = rows[:, sx:sx + Wo, :]
                         gst = gs_ref[:, :, t * Cin:(t + 1) * Cin]
                         dot = jnp.sum(xs * gst, axis=-1)   # (tile_h, Wo)
@@ -367,42 +400,53 @@ def _dcn_sampled_kernel(x_ref, dy_ref, dx_ref, mask_ref, out_ref, acc_ref, *,
 
     acc_ref[...] = jnp.zeros((tile_h, Wo, K * Cin), jnp.float32)
 
-    # same hoist/hat3d/row-skip restructure as the forward kernel
+    # same scalar-interval guard restructure as the forward kernel
+    dymin = [jnp.min(dy[..., t]) for t in range(K)]
+    dymax = [jnp.max(dy[..., t]) for t in range(K)]
+    dxmin = [jnp.min(dx[..., t]) for t in range(K)]
+    dxmax = [jnp.max(dx[..., t]) for t in range(K)]
+    mpos = [jnp.max(m[..., t]) > 0.0 for t in range(K)]
+
     def sy_body(sy, _):
         syf = sy.astype(jnp.float32)
-        wys = []
-        rhits = []
+        row_ok = []
         for t in range(K):
-            ti = t // kw
-            wy = jnp.maximum(
-                0.0, 1.0 - jnp.abs(dy[..., t:t + 1] - (syf - R - ti)))
-            wys.append(wy)
-            rhits.append(jnp.max(wy))
-        row_hit = functools.reduce(jnp.maximum, rhits)
+            cy = syf - R - (t // kw)
+            row_ok.append((dymax[t] > cy - 1.0) & (dymin[t] < cy + 1.0)
+                          & mpos[t])
+        row_hit = functools.reduce(jnp.logical_or, row_ok)
 
-        @pl.when(row_hit > 0.0)
+        @pl.when(row_hit)
         def _():
             rows = x_ref[0, pl.ds(row_base + sy, tile_h),
                          :, :].astype(jnp.float32)
+            wys = [
+                jnp.maximum(
+                    0.0, 1.0 - jnp.abs(dy[..., t:t + 1]
+                                       - (syf - R - t // kw)))
+                for t in range(K)
+            ]
             for sx in range(Sx):
-                w2s = []
-                hits = []
-                for t in range(K):
-                    tj = t % kw
-                    wx = jnp.maximum(
-                        0.0, 1.0 - jnp.abs(dx[..., t:t + 1] - (sx - R - tj)))
-                    w2s.append(wys[t] * wx * m[..., t:t + 1])
-                    hits.append(jnp.max(w2s[-1]))
-                any_hit = functools.reduce(jnp.maximum, hits)
+                cell_ok = [
+                    row_ok[t]
+                    & (dxmax[t] > sx - R - (t % kw) - 1.0)
+                    & (dxmin[t] < sx - R - (t % kw) + 1.0)
+                    for t in range(K)
+                ]
+                any_ok = functools.reduce(jnp.logical_or, cell_ok)
 
-                @pl.when(any_hit > 0.0)
-                def _(sx=sx, w2s=w2s, hits=hits):
+                @pl.when(any_ok)
+                def _(sx=sx, cell_ok=cell_ok):
                     xs = rows[:, sx:sx + Wo, :]
                     for t in range(K):
-                        @pl.when(hits[t] > 0.0)
-                        def _(t=t, xs=xs, w2s=w2s):
+                        @pl.when(cell_ok[t])
+                        def _(t=t, sx=sx, xs=xs):
+                            wx = jnp.maximum(
+                                0.0, 1.0 - jnp.abs(dx[..., t:t + 1]
+                                                   - (sx - R - t % kw)))
+                            w2 = wys[t] * wx * m[..., t:t + 1]
                             sl = slice(t * Cin, (t + 1) * Cin)
-                            acc_ref[:, :, sl] += w2s[t] * xs
+                            acc_ref[:, :, sl] += w2 * xs
         return 0
 
     jax.lax.fori_loop(0, Sy, sy_body, 0)
@@ -432,30 +476,33 @@ def _dcn_bwd_input_kernel(g_ref, dy_ref, dx_ref, mask_ref, w_ref,
 
     def sy_body(sy, _):
         # padded row r = row_base + r' samples from output row r - sy,
-        # which lives at zero-extended row r - sy + G0.
+        # which lives at zero-extended row r - sy + G0. The dy/dx/mask
+        # slices move with sy, so (unlike the other kernels) the scalar
+        # offset ranges for the interval guards are reduced per sy —
+        # still K*2 reduces instead of the K*Sx map+reduce pairs the
+        # round-4 version burned on the column tests.
         start = row_base - sy + G0
         dy = jnp.clip(dy_ref[0, pl.ds(start, tile_h), :, :]
                       .astype(jnp.float32), -R, R)
         syf = sy.astype(jnp.float32)
-        # row weights hoisted; the g slice AND the per-sy gs matmul sit
-        # behind the row-support guard — no tap with row support at this
-        # sy means no contribution to any input row of this tile
-        wys, rhits = [], []
+        row_ok = []
         for t in range(K):
-            ti = t // kw
-            wy = jnp.maximum(
-                0.0, 1.0 - jnp.abs(dy[..., t:t + 1] - (syf - R - ti)))
-            wys.append(wy)
-            rhits.append(jnp.max(wy))
-        row_hit = functools.reduce(jnp.maximum, rhits)
+            cy = syf - R - (t // kw)
+            dyt = dy[..., t]
+            row_ok.append((jnp.max(dyt) > cy - 1.0)
+                          & (jnp.min(dyt) < cy + 1.0))
+        row_hit = functools.reduce(jnp.logical_or, row_ok)
 
-        @pl.when(row_hit > 0.0)
+        @pl.when(row_hit)
         def _():
             g = g_ref[0, pl.ds(start, tile_h), :, :].astype(jnp.float32)
             dx = jnp.clip(dx_ref[0, pl.ds(start, tile_h), :, :]
                           .astype(jnp.float32), -R, R)
             m = mask_ref[0, pl.ds(start, tile_h), :, :].astype(jnp.float32)
 
+            # the g slice AND the per-sy gs matmul sit behind the
+            # row-support guard — no tap with row support at this sy
+            # means no contribution to any input row of this tile
             gs_ref[...] = jax.lax.dot_general(
                 g.reshape(tile_h * Wo, Cout),
                 w_ref[:].astype(jnp.float32),
@@ -463,16 +510,31 @@ def _dcn_bwd_input_kernel(g_ref, dy_ref, dx_ref, mask_ref, w_ref,
                 preferred_element_type=jnp.float32,
             ).reshape(tile_h, Wo, K * Cin)
 
+            wys = [
+                jnp.maximum(
+                    0.0, 1.0 - jnp.abs(dy[..., t:t + 1]
+                                       - (syf - R - t // kw)))
+                for t in range(K)
+            ]
+            dxmin = [jnp.min(dx[..., t]) for t in range(K)]
+            dxmax = [jnp.max(dx[..., t]) for t in range(K)]
+            # dX only sees mask-modulated products, so an all-zero mask
+            # tap may gate here (unlike the param kernel's d(mask))
+            mpos = [jnp.max(m[..., t]) > 0.0 for t in range(K)]
+
             for sx in range(Sx):
                 for t in range(K):
                     tj = t % kw
-                    wx = jnp.maximum(
-                        0.0, 1.0 - jnp.abs(dx[..., t:t + 1] - (sx - R - tj)))
-                    w2 = wys[t] * wx * m[..., t:t + 1]
-                    hit = jnp.max(w2)
+                    hit = (row_ok[t] & mpos[t]
+                           & (dxmax[t] > sx - R - tj - 1.0)
+                           & (dxmin[t] < sx - R - tj + 1.0))
 
-                    @pl.when(hit > 0.0)
-                    def _(t=t, w2=w2, sx=sx):
+                    @pl.when(hit)
+                    def _(t=t, sx=sx):
+                        wx = jnp.maximum(
+                            0.0, 1.0 - jnp.abs(dx[..., t:t + 1]
+                                               - (sx - R - t % kw)))
+                        w2 = wys[t] * wx * m[..., t:t + 1]
                         accx_ref[:, sx:sx + Wo, :] += (
                             w2 * gs_ref[:, :, t * Cin:(t + 1) * Cin])
         return 0
@@ -756,49 +818,70 @@ def _dcn_s2_kernel(x00_ref, x01_ref, x10_ref, x11_ref,
 
     acc_ref[...] = jnp.zeros((tile_h, Wo, K * Cin), jnp.float32)
 
+    # Round-5: same scalar-interval guard scheme as the stride-1 kernel
+    # (ranges reduced once per tile, all support tests scalar), plus the
+    # two column-parity row slices are now LAZY — each parity's slice +
+    # f32 convert only happens when one of its cells actually fires,
+    # instead of both being cut unconditionally every sy.
+    dymin = [jnp.min(dy[..., t]) for t in range(K)]
+    dymax = [jnp.max(dy[..., t]) for t in range(K)]
+    dxmin = [jnp.min(dx[..., t]) for t in range(K)]
+    dxmax = [jnp.max(dx[..., t]) for t in range(K)]
+    mpos = [jnp.max(m[..., t]) > 0.0 for t in range(K)]
+
     def make_body(p, col_refs):
         # one body per row parity so the (static) view refs differ only
-        # by p; a = sy // 2 is the loop variable, sy = 2a + p. Same
-        # hoist/hat3d/row-skip restructure as the stride-1 kernel.
+        # by p; a = sy // 2 is the loop variable, sy = 2a + p.
         def body(a, _):
             syf = (2 * a + p).astype(jnp.float32)
-            wys = []
-            rhits = []
+            row_ok = []
             for t in range(K):
-                ti = t // kw
-                wy = jnp.maximum(
-                    0.0, 1.0 - jnp.abs(dy[..., t:t + 1] - (syf - R - ti)))
-                wys.append(wy)
-                rhits.append(jnp.max(wy))
-            row_hit = functools.reduce(jnp.maximum, rhits)
+                cy = syf - R - (t // kw)
+                row_ok.append((dymax[t] > cy - 1.0) & (dymin[t] < cy + 1.0)
+                              & mpos[t])
+            row_hit = functools.reduce(jnp.logical_or, row_ok)
 
-            @pl.when(row_hit > 0.0)
+            @pl.when(row_hit)
             def _():
-                rows0 = col_refs[0][0, pl.ds(row_base + a, tile_h),
-                                    :, :].astype(jnp.float32)
-                rows1 = col_refs[1][0, pl.ds(row_base + a, tile_h),
-                                    :, :].astype(jnp.float32)
-                for sx in range(Sx):
-                    b0 = sx // 2
-                    w2s = []
-                    hits = []
-                    for t in range(K):
-                        tj = t % kw
-                        wx = jnp.maximum(
-                            0.0,
-                            1.0 - jnp.abs(dx[..., t:t + 1] - (sx - R - tj)))
-                        w2s.append(wys[t] * wx * m[..., t:t + 1])
-                        hits.append(jnp.max(w2s[-1]))
-                    any_hit = functools.reduce(jnp.maximum, hits)
+                wys = [
+                    jnp.maximum(
+                        0.0, 1.0 - jnp.abs(dy[..., t:t + 1]
+                                           - (syf - R - t // kw)))
+                    for t in range(K)
+                ]
+                cell_ok = [
+                    [row_ok[t]
+                     & (dxmax[t] > sx - R - (t % kw) - 1.0)
+                     & (dxmin[t] < sx - R - (t % kw) + 1.0)
+                     for t in range(K)]
+                    for sx in range(Sx)
+                ]
+                any_ok = [functools.reduce(jnp.logical_or, cell_ok[sx])
+                          for sx in range(Sx)]
+                for par in (0, 1):
+                    sxs = [sx for sx in range(Sx) if sx % 2 == par]
+                    par_need = functools.reduce(
+                        jnp.logical_or, [any_ok[sx] for sx in sxs])
 
-                    @pl.when(any_hit > 0.0)
-                    def _(sx=sx, b0=b0, w2s=w2s, hits=hits):
-                        xs = (rows1 if sx % 2 else rows0)[:, b0:b0 + Wo, :]
-                        for t in range(K):
-                            @pl.when(hits[t] > 0.0)
-                            def _(t=t, xs=xs, w2s=w2s):
-                                sl = slice(t * Cin, (t + 1) * Cin)
-                                acc_ref[:, :, sl] += w2s[t] * xs
+                    @pl.when(par_need)
+                    def _(par=par, sxs=sxs):
+                        rows = col_refs[par][0, pl.ds(row_base + a, tile_h),
+                                             :, :].astype(jnp.float32)
+                        for sx in sxs:
+                            @pl.when(any_ok[sx])
+                            def _(sx=sx, rows=rows):
+                                xs = rows[:, sx // 2:sx // 2 + Wo, :]
+                                for t in range(K):
+                                    @pl.when(cell_ok[sx][t])
+                                    def _(t=t, sx=sx, xs=xs):
+                                        wx = jnp.maximum(
+                                            0.0,
+                                            1.0 - jnp.abs(
+                                                dx[..., t:t + 1]
+                                                - (sx - R - t % kw)))
+                                        w2 = wys[t] * wx * m[..., t:t + 1]
+                                        sl = slice(t * Cin, (t + 1) * Cin)
+                                        acc_ref[:, :, sl] += w2 * xs
             return 0
 
         return body

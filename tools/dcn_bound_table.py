@@ -46,34 +46,48 @@ TILE = 8
 
 def firing_counts(dy, dx, tile_h=TILE):
     """Replay the kernel guards in numpy: returns (row_hits, cell_hits,
-    mac_firings) summed over row tiles. dy/dx: (Ho, Wo, K) f32 already
-    clipped."""
+    mac_firings, parity_rows) summed over row tiles. dy/dx: (Ho, Wo, K)
+    f32 already clipped.
+
+    Round 5: the kernels now guard on per-tap SCALAR offset ranges
+    (min/max per tile, interval-vs-open-support tests) instead of
+    max-reducing full hat maps — see `dcn_kernel.py`. The replay mirrors
+    that exactly, so counts include the conservative firings where a
+    tile's offsets straddle a cell's support without entering it.
+    `parity_rows` counts column-parity slice loads for the stride-2
+    kernel (each fired sy loads only the parity views some cell of which
+    fired; 1 or 2 per fired sy)."""
     import numpy as np
 
     Ho = dy.shape[0]
     Sy = 3 + 2 * R + 1
     Sx = 3 + 2 * R + 1
     n_tiles = -(-Ho // tile_h)
-    rows = cells = macs = 0
+    rows = cells = macs = par_rows = 0
     ti = (np.arange(K) // 3).astype(np.float32)
     tj = (np.arange(K) % 3).astype(np.float32)
     for i in range(n_tiles):
-        d_y = dy[i * tile_h:(i + 1) * tile_h]       # (th, Wo, K)
-        d_x = dx[i * tile_h:(i + 1) * tile_h]
+        d_y = dy[i * tile_h:(i + 1) * tile_h].reshape(-1, K)  # (th*Wo, K)
+        d_x = dx[i * tile_h:(i + 1) * tile_h].reshape(-1, K)
+        dymin, dymax = d_y.min(axis=0), d_y.max(axis=0)
+        dxmin, dxmax = d_x.min(axis=0), d_x.max(axis=0)
         for sy in range(Sy):
-            wy = np.maximum(0.0, 1.0 - np.abs(d_y - (sy - R - ti)))
-            if wy.max() <= 0.0:
+            cy = sy - R - ti
+            row_ok = (dymax > cy - 1.0) & (dymin < cy + 1.0)
+            if not row_ok.any():
                 continue
             rows += 1
-            wy_max_t = wy.reshape(-1, K)
+            par_need = [False, False]
             for sx in range(Sx):
-                wx = np.maximum(0.0, 1.0 - np.abs(d_x - (sx - R - tj)))
-                w2 = wy * wx                         # (th, Wo, K)
-                hits = w2.reshape(-1, K).max(axis=0) > 0.0
-                if hits.any():
+                cx = sx - R - tj
+                cell_ok = row_ok & (dxmax > cx - 1.0) & (dxmin < cx + 1.0)
+                n = int(cell_ok.sum())
+                if n:
                     cells += 1
-                    macs += int(hits.sum())
-    return rows, cells, macs
+                    macs += n
+                    par_need[sx % 2] = True
+            par_rows += int(par_need[0]) + int(par_need[1])
+    return rows, cells, macs, par_rows
 
 
 def layer_bytes(rows, macs, Wo, Wp, Cin):
@@ -85,18 +99,19 @@ def layer_bytes(rows, macs, Wo, Wp, Cin):
     return mac_b + row_b
 
 
-def layer_bytes_s2(rows, macs, Wo, Cin):
+def layer_bytes_s2(par_rows, macs, Wo, Cin):
     """Stride-2 parity-view kernel byte model. The guard replay is
     stride-AGNOSTIC (same tap lattice over sy/sx in 0..Sy-1, split by
-    parity inside the kernel), so `firing_counts` applies unchanged; only
-    the data movement differs: each fired row (sy) loads + converts BOTH
-    column-parity view slices (`rows0`/`rows1` in `_dcn_s2_kernel`,
-    (tile, vc, Cin) each, vc = 8-aligned Wo + (Sx+1)//2) before the sx
-    loop. MAC bytes are identical to stride-1."""
+    parity inside the kernel), so `firing_counts` applies unchanged.
+    Round 5: the kernel slices each column-parity view LAZILY — only the
+    parities with a fired cell load at a given sy — so the row term uses
+    the replayed `parity_rows` count ((tile, vc, Cin) bf16 load + f32
+    convert each, vc = 8-aligned Wo + (Sx+1)//2). MAC bytes are
+    identical to stride-1."""
     Sx = 3 + 2 * R + 1
     vc = -(-(Wo + (Sx + 1) // 2) // 8) * 8
     mac_b = macs * 3 * TILE * Wo * Cin * 4
-    row_b = rows * 2 * TILE * vc * Cin * (2 + 4)
+    row_b = par_rows * TILE * vc * Cin * (2 + 4)
     return mac_b + row_b
 
 
@@ -201,11 +216,11 @@ def main():
             offset = np.concatenate([o1, o2], axis=-1)
             dy = np.clip(offset[..., 0::2], -R, R)
             dx = np.clip(offset[..., 1::2], -R, R)
-            rows, cells, macs = firing_counts(dy, dx)
+            rows, cells, macs, prows = firing_counts(dy, dx)
             Cin = {120: 128, 60: 256, 30: 512}[Ho]
             stride = 2 if "block0" in name else 1
             Wp = -(-(Wo + 2 * R + 3) // 8) * 8
-            byt = (layer_bytes_s2(rows, macs, Wo, Cin) if stride == 2
+            byt = (layer_bytes_s2(prows, macs, Wo, Cin) if stride == 2
                    else layer_bytes(rows, macs, Wo, Wp, Cin))
             results["layers"][name] = {
                 "res": Ho, "cin": Cin, "stride": stride,
@@ -226,7 +241,7 @@ def main():
         offn = np.asarray(off, np.float32)
         dyc = np.clip(offn[0, ..., 0::2], -R, R)
         dxc = np.clip(offn[0, ..., 1::2], -R, R)
-        rows, cells, macs = firing_counts(dyc, dxc)
+        rows, cells, macs, prows = firing_counts(dyc, dxc)
         Wp = -(-(Ho + 2 * R + 3) // 8) * 8
         byt = layer_bytes(rows, macs, Ho, Wp, Cin)
         ms = time_kernel(xin, off, mask, w, 1)
@@ -248,8 +263,8 @@ def main():
         offn = np.asarray(off, np.float32)
         dyc = np.clip(offn[0, ..., 0::2], -R, R)
         dxc = np.clip(offn[0, ..., 1::2], -R, R)
-        rows, cells, macs = firing_counts(dyc, dxc)
-        byt = layer_bytes_s2(rows, macs, Ho, Cin)
+        rows, cells, macs, prows = firing_counts(dyc, dxc)
+        byt = layer_bytes_s2(prows, macs, Ho, Cin)
         ms = time_kernel(xin, off, mask, w, 2)
         cal[f"calib_s2_c{Ho}"] = {"bytes_mb": round(byt / 1e6, 1),
                                   "ms": round(ms, 3),
@@ -266,7 +281,7 @@ def main():
         offset = np.concatenate([o1, o2], axis=-1)
         dy = np.clip(offset[..., 0::2], -R, R)
         dx = np.clip(offset[..., 1::2], -R, R)
-        rows, cells, macs = firing_counts(dy, dx)
+        rows, cells, macs, prows = firing_counts(dy, dx)
         # infer layer geometry: stride-2 layers have input 2*Ho
         # (offset grid == output grid); Cin from the captured conv input
         # is not retained, so look it up by resolution+name convention
@@ -276,7 +291,7 @@ def main():
         # the first block of each DCN stage is stride 2 (resnet.py:
         # stage{i}_block0 downsamples); offset grids are at OUTPUT res
         stride = 2 if "block0" in name else 1
-        byt = (layer_bytes_s2(rows, macs, Wo, Cin) if stride == 2
+        byt = (layer_bytes_s2(prows, macs, Wo, Cin) if stride == 2
                else layer_bytes(rows, macs, Wo, Wp, Cin))
         H_in = Ho * stride
         xin = jax.random.normal(key, (1, H_in, H_in, Cin), jnp.bfloat16)

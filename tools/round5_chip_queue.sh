@@ -25,15 +25,23 @@ log() { echo "[queue $(date -u +%H:%M:%S)] $*"; }
 
 stage=${1:-1}
 
+if [ "$stage" -le 0 ]; then
+  log "stage 0: dataset presence check (regenerate via tools/regen_datasets.sh)"
+  for d in data/train_det data/val_det data/test_det; do
+    [ -d "$d" ] || { log "missing $d — run tools/regen_datasets.sh det"; exit 2; }
+  done
+fi
+
 if [ "$stage" -le 1 ]; then
-  log "stage 1: det960d converged leg (resume)"
+  log "stage 1: det960d converged leg (fresh 3-epoch OneCycle from the"
+  log "  step-3000 extraction — the round-4 last_state died with the workspace)"
   python -m ocr_vi_invoice_tpu.train.supervisor \
     --rss_limit_gb 55 --max_restarts 50 --stall_minutes 50 -- \
     python -m ocr_vi_invoice_tpu.train.det \
       --train_dir data/train_det --val_dir data/val_det \
       --test_dir data/test_det --epochs 3 --freeze_epochs 0 \
       --batch_size 4 --lr 2.5e-4 --image_size 960 \
-      --save_dir weights/det960d --resume weights/det960b/best_model \
+      --save_dir weights/det960d --resume weights/det960d_s3000/best_model \
       --save_every_steps 500 --auto_resume
   rc=$?
   log "stage 1 rc=$rc"
