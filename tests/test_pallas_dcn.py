@@ -180,3 +180,47 @@ def test_stride2_backward_matches_gather_autodiff():
     for name, a, b in zip(["dx", "doffset", "dmask", "dweight"], gp, gg):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5, err_msg=name)
+
+
+# --------------------------------------------------------------------------- #
+# Scalar-interval guards (round 5)
+# --------------------------------------------------------------------------- #
+
+
+def test_straddle_offsets_exact():
+    """Pixels straddling a cell's open support (one at -2, one at +2
+    around a cell center) make the interval guard fire conservatively;
+    the accumulated hat product must be identically zero, so the output
+    still matches the exact gather."""
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(1, 10, 12, 4), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 4, 8), jnp.float32)
+    off = np.zeros((1, 10, 12, 18), np.float32)
+    # alternate dy between -2 and +2 per column: every row-cell interval
+    # [-2, 2] intersects supports its pixels never enter
+    off[..., 0::2] = np.where(np.arange(12)[None, None, :, None] % 2 == 0,
+                              -2.0, 2.0)
+    off = jnp.asarray(off)
+    m = jnp.asarray(rng.rand(1, 10, 12, 9), jnp.float32)
+    ref = deform_conv2d(x, off, m, w)
+    out = DK.deform_conv2d_pallas(x, off, m, w, 1, 1, 3, 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_zero_mask_tap_skipped_exact():
+    """A tap whose modulation mask is identically zero is gated out by
+    the mpos scalar guard; output must equal the gather (which just
+    multiplies that tap by zero)."""
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(1, 10, 12, 4), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 4, 8), jnp.float32)
+    off = jnp.clip(jnp.asarray(rng.randn(1, 10, 12, 18).astype(np.float32))
+                   * 1.2, -2.9, 2.9)
+    m = np.asarray(rng.rand(1, 10, 12, 9), np.float32)
+    m[..., [2, 5]] = 0.0   # two taps fully masked out
+    m = jnp.asarray(m)
+    ref = deform_conv2d(x, off, m, w)
+    out = DK.deform_conv2d_pallas(x, off, m, w, 1, 1, 3, 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
