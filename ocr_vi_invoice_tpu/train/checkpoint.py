@@ -158,7 +158,9 @@ class CheckpointManager:
 # equivalent is its hardcoded weights/{det,rec2}/best_model.pth paths,
 # `src/pipeline/pipeline2.py:196-238`).
 _SHIPPED = {
-    "det": ("det960b", "det960", "det"),
+    # det960d: round-5 converged 3-epoch OneCycle — test F1 0.9393 vs
+    # det960b's 0.9278 on the matched regenerated split (README table)
+    "det": ("det960d", "det960b", "det960", "det"),
     "rec": ("rec2_aug2", "rec2_aug", "rec2"),
     "scan": ("u2netp",),
 }
